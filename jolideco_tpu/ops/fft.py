@@ -1,0 +1,153 @@
+"""FFT-based linear convolution kernels, TPU-first.
+
+Functional equivalents of the reference's torch FFT helpers
+(`jolideco/utils/torch.py:347-390` in the reference repo): 2-D linear
+convolution of an image with a centered kernel via real FFTs, plus a
+precomputed-kernel-FFT variant. The reference re-FFTs the PSF on every
+training step; here the kernel transform is computed once per dataset at
+build time (the reference's evident intent, see its unused
+``psf_fourier_and_shape`` cache at ``models/npred.py:117-127``) and the
+convolution output is aligned so no centered crop is needed at runtime:
+the kernel is embedded origin-centered (rolled), so the result of the
+circular convolution restricted to ``[:H, :W]`` equals the centered crop
+of the full linear convolution.
+
+All functions operate on ``(..., H, W)`` arrays with static shapes so they
+jit and vmap cleanly over observation axes.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = [
+    "fft_conv_shape",
+    "kernel_fft",
+    "convolve_fft",
+    "convolve_fft_precomputed",
+]
+
+
+def fft_conv_shape(image_shape, kernel_shape):
+    """Minimal FFT shape for linear (non-circular) convolution.
+
+    Parameters
+    ----------
+    image_shape, kernel_shape : tuple of int
+        Trailing two dims are spatial.
+
+    Returns
+    -------
+    shape : tuple of int
+        ``(H + kh - 1, W + kw - 1)``
+    """
+    return (
+        image_shape[-2] + kernel_shape[-2] - 1,
+        image_shape[-1] + kernel_shape[-1] - 1,
+    )
+
+
+def _origin_centered(kernel, fft_shape):
+    """Embed ``kernel`` into ``fft_shape`` with its center pixel at (0, 0).
+
+    The kernel center is taken at index ``(kh - 1) // 2`` per axis, which
+    reproduces the centered-crop alignment of the reference implementation
+    (``utils/torch.py:337-344``) for both odd and even kernel sizes.
+    """
+    kh, kw = kernel.shape[-2], kernel.shape[-1]
+    pad = [(0, 0)] * (kernel.ndim - 2) + [
+        (0, fft_shape[0] - kh),
+        (0, fft_shape[1] - kw),
+    ]
+    padded = jnp.pad(kernel, pad)
+    return jnp.roll(padded, shift=(-((kh - 1) // 2), -((kw - 1) // 2)), axis=(-2, -1))
+
+
+def kernel_fft(kernel, image_shape, fft_shape=None):
+    """Precompute the rFFT of a convolution kernel, origin-centered.
+
+    Parameters
+    ----------
+    kernel : array of shape ``(..., kh, kw)``
+        Convolution kernel (e.g. a PSF).
+    image_shape : tuple of int
+        Spatial shape of the images that will be convolved.
+    fft_shape : tuple of int, optional
+        FFT size to use. Must be at least ``fft_conv_shape``; defaults to
+        exactly that. Pass a common padded shape to batch observations
+        with ragged PSF sizes into one stacked array.
+
+    Returns
+    -------
+    kft : complex array of shape ``(..., fh, fw // 2 + 1)``
+    """
+    min_shape = fft_conv_shape(image_shape, kernel.shape)
+    if fft_shape is None:
+        fft_shape = min_shape
+    if fft_shape[0] < min_shape[0] or fft_shape[1] < min_shape[1]:
+        raise ValueError(
+            f"fft_shape {fft_shape} too small for linear convolution, "
+            f"need at least {min_shape}"
+        )
+    embedded = _origin_centered(kernel, fft_shape)
+    return jnp.fft.rfft2(embedded, s=fft_shape)
+
+
+def convolve_fft_precomputed(image, kft, fft_shape):
+    """Convolve ``image`` with a kernel given by its precomputed rFFT.
+
+    Equivalent to the reference's ``convolve_fft_fourier_kernel_torch``
+    (``utils/torch.py:373-390``) but with origin-centered kernels so the
+    output needs no crop arithmetic: we simply slice ``[:H, :W]``.
+
+    Parameters
+    ----------
+    image : array ``(..., H, W)``
+    kft : complex array from :func:`kernel_fft`
+    fft_shape : tuple of int
+        The FFT shape the kernel was prepared with (static).
+
+    Returns
+    -------
+    out : array ``(..., H, W)``
+        Linear convolution result, same shape as ``image``.
+    """
+    h, w = image.shape[-2], image.shape[-1]
+    image_ft = jnp.fft.rfft2(image, s=tuple(fft_shape))
+    out = jnp.fft.irfft2(image_ft * kft, s=tuple(fft_shape))
+    return out[..., :h, :w]
+
+
+def convolve_fft(image, kernel):
+    """2-D linear convolution via FFT with centered output.
+
+    Drop-in behavioural equivalent of the reference's
+    ``convolve_fft_torch`` (``utils/torch.py:347-370``): convolves with the
+    full kernel and returns the center-aligned result with the shape of
+    ``image``. Matches ``scipy.signal.fftconvolve(..., mode="same")`` for
+    odd kernels.
+    """
+    fft_shape = fft_conv_shape(image.shape, kernel.shape)
+    kft = kernel_fft(kernel, image.shape[-2:], fft_shape)
+    return convolve_fft_precomputed(image, kft, fft_shape)
+
+
+def good_fft_size(n):
+    """Next 5-smooth size >= n (fast for XLA's FFT).
+
+    TPU FFTs are happiest on sizes with small prime factors; used when
+    padding ragged PSF stacks to a common FFT shape.
+    """
+    if n <= 2:
+        return max(n, 1)
+    best = 1 << int(np.ceil(np.log2(n)))
+    f5 = 1
+    while f5 < best:
+        f35 = f5
+        while f35 < best:
+            m = f35 * (1 << max(0, int(np.ceil(np.log2(n / f35)))))
+            if n <= m < best:
+                best = m
+            f35 *= 3
+        f5 *= 5
+    return best

@@ -1,0 +1,244 @@
+"""GMM patch log-probability scoring — the hot kernel of the framework.
+
+The reference computes, for every image patch ``x_n`` (d = p*p features)
+and every mixture component ``k``::
+
+    q[n, k]      = sum_j w_j * (x_n @ P_k - mu_k @ P_k)_j ** 2
+    logits[n, k] = -0.5 * (d * log(2 pi) + q[n, k]) + log|P_k| + log pi_k
+
+with ``P_k`` the precision-Cholesky factors and ``w`` trapezoidal
+per-pixel overlap weights, followed by a max (MAP) or logsumexp
+(marginalisation) over ``k`` (reference ``jolideco/priors/patches/
+gmm.py:262-281`` and ``priors/patches/core.py:242-245``). The reference
+loops over ``k`` in Python and materialises the full ``(N, K)`` matrix.
+
+TPU-first design here:
+
+- ``gmm_log_prob_matrix``: the full ``(N, K)`` matrix as one batched
+  einsum — fine for diagnostics and small N (API parity with
+  ``estimate_log_prob``).
+- ``gmm_score``: streaming reduction over components via ``lax.scan`` —
+  the ``(K, N, d)`` whitened intermediate never exists; VMEM-sized
+  blocks flow through the MXU and only the running max / logsumexp
+  ``(N,)`` carry lives in HBM. A custom VJP avoids storing per-component
+  residuals: MAP mode backpropagates through the argmax component only
+  (a gather + one matmul), marginalise mode re-scans with softmax
+  weights.
+- an optional Pallas kernel (``jolideco_tpu.ops.gmm_pallas``) implements
+  the same contract with explicit VMEM blocking; ``gmm_score`` is the
+  reference implementation it is tested against.
+
+Invalid patches (the reference drops patches containing sentinel values
+via boolean indexing, ``priors/patches/core.py:213-216``) are handled
+shape-statically by the caller with a mask — see
+``GMMPatchPrior.__call__``.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["gmm_log_prob_matrix", "gmm_score", "GMMArrays"]
+
+LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+def _const_terms(log_det, log_weights, n_features):
+    return -0.5 * n_features * LOG_2PI + log_det + log_weights
+
+
+class GMMArrays:
+    """Device-ready GMM buffers for scoring.
+
+    Attributes
+    ----------
+    means_prec : ``(K, d)`` — ``mu_k @ P_k`` precomputed
+    prec_chol : ``(K, d, d)``
+    log_det : ``(K,)`` — ``log |P_k|``
+    log_weights : ``(K,)``
+    pixel_weights : ``(d,)`` — trapezoidal overlap weights (flattened)
+    """
+
+    def __init__(self, means_prec, prec_chol, log_det, log_weights, pixel_weights):
+        self.means_prec = jnp.asarray(means_prec)
+        self.prec_chol = jnp.asarray(prec_chol)
+        self.log_det = jnp.asarray(log_det)
+        self.log_weights = jnp.asarray(log_weights)
+        self.pixel_weights = jnp.asarray(pixel_weights).reshape(-1)
+
+    def astuple(self):
+        return (
+            self.means_prec,
+            self.prec_chol,
+            self.log_det,
+            self.log_weights,
+            self.pixel_weights,
+        )
+
+    @property
+    def n_components(self):
+        return self.prec_chol.shape[0]
+
+    @property
+    def n_features(self):
+        return self.prec_chol.shape[1]
+
+    def tree_flatten(self):
+        return self.astuple(), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    GMMArrays, GMMArrays.tree_flatten, GMMArrays.tree_unflatten
+)
+
+
+def gmm_log_prob_matrix(
+    patches, means_prec, prec_chol, log_det, log_weights, pixel_weights,
+    precision=lax.Precision.HIGHEST,
+):
+    """Full ``(N, K)`` weighted log-probability matrix.
+
+    Parity surface for the reference's ``estimate_log_prob``
+    (``gmm.py:262-281``) — use :func:`gmm_score` in training loops.
+    """
+    n_features = patches.shape[-1]
+    # y[k, n, j] = (patches @ P_k)[n, j] - means_prec[k, j]
+    y = (
+        jnp.einsum("nd,kdj->knj", patches, prec_chol, precision=precision)
+        - means_prec[:, None, :]
+    )
+    q = jnp.einsum("knj,j->kn", jnp.square(y), pixel_weights, precision=precision)
+    return -0.5 * q.T + _const_terms(log_det, log_weights, n_features)
+
+
+def _component_logits(patches, prec_chol_k, means_prec_k, const_k, pixel_weights,
+                      precision):
+    """Logits of one component for all patches: ``(N,)``."""
+    y = (
+        jnp.dot(patches, prec_chol_k, precision=precision,
+                preferred_element_type=patches.dtype)
+        - means_prec_k
+    )
+    q = jnp.dot(jnp.square(y), pixel_weights, precision=precision,
+                preferred_element_type=patches.dtype)
+    return -0.5 * q + const_k
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def gmm_score(
+    patches, means_prec, prec_chol, log_det, log_weights, pixel_weights,
+    marginalize=False, precision=lax.Precision.HIGHEST,
+):
+    """Reduced per-patch GMM score.
+
+    Returns
+    -------
+    values : ``(N,)``
+        ``max_k logits[n, k]`` (MAP) or ``logsumexp_k`` (marginalise).
+    argmax : ``(N,)`` int32
+        Best component per patch (defined for both modes; used by
+        diagnostics such as ``prior_image``).
+    """
+    values, argmax, _ = _score_fwd_impl(
+        patches, means_prec, prec_chol, log_det, log_weights, pixel_weights,
+        marginalize, precision,
+    )
+    return values, argmax
+
+
+def _score_fwd_impl(patches, means_prec, prec_chol, log_det, log_weights,
+                    pixel_weights, marginalize, precision):
+    n = patches.shape[0]
+    n_features = patches.shape[-1]
+    const = _const_terms(log_det, log_weights, n_features)
+    dtype = patches.dtype
+
+    def body(carry, inputs):
+        best, best_idx, lse, k = carry
+        prec_k, mp_k, const_k = inputs
+        logit = _component_logits(
+            patches, prec_k, mp_k, const_k, pixel_weights, precision
+        )
+        take = logit > best
+        best = jnp.where(take, logit, best)
+        best_idx = jnp.where(take, k, best_idx)
+        lse = jnp.logaddexp(lse, logit)  # stable streaming logsumexp
+        return (best, best_idx, lse, k + 1), None
+
+    init = (
+        jnp.full((n,), -jnp.inf, dtype),
+        jnp.zeros((n,), jnp.int32),
+        jnp.full((n,), -jnp.inf, dtype),
+        jnp.int32(0),
+    )
+    (best, best_idx, lse, _), _ = lax.scan(
+        body, init, (prec_chol, means_prec, const)
+    )
+    values = lse if marginalize else best
+    return values, best_idx, (best, lse)
+
+
+def _score_fwd(patches, means_prec, prec_chol, log_det, log_weights,
+               pixel_weights, marginalize, precision):
+    values, argmax, (best, lse) = _score_fwd_impl(
+        patches, means_prec, prec_chol, log_det, log_weights, pixel_weights,
+        marginalize, precision,
+    )
+    residuals = (patches, means_prec, prec_chol, log_det, log_weights,
+                 pixel_weights, argmax, lse)
+    return (values, argmax), residuals
+
+
+def _score_bwd(marginalize, precision, residuals, cotangents):
+    (patches, means_prec, prec_chol, log_det, log_weights, pixel_weights,
+     argmax, lse) = cotangents_res = residuals
+    g_values, _ = cotangents  # argmax output is integer: no cotangent
+    n_features = patches.shape[-1]
+    const = _const_terms(log_det, log_weights, n_features)
+
+    if not marginalize:
+        # d logit_k* / dx = -(w * y_k*) @ P_k*^T ; gather the winners.
+        prec_g = jnp.take(prec_chol, argmax, axis=0)      # (N, d, d)
+        mp_g = jnp.take(means_prec, argmax, axis=0)       # (N, d)
+        y = (
+            jnp.einsum("nd,ndj->nj", patches, prec_g, precision=precision)
+            - mp_g
+        )
+        wy = y * pixel_weights
+        dx = -jnp.einsum("nj,ndj->nd", wy, prec_g, precision=precision)
+        dx = dx * g_values[:, None]
+    else:
+        # softmax-weighted sum over components, re-scanned.
+        def body(dx, inputs):
+            prec_k, mp_k, const_k = inputs
+            logit = _component_logits(
+                patches, prec_k, mp_k, const_k, pixel_weights, precision
+            )
+            p = jnp.exp(logit - lse)
+            y = (
+                jnp.dot(patches, prec_k, precision=precision)
+                - mp_k
+            )
+            wy = y * pixel_weights
+            contrib = -jnp.dot(wy, prec_k.T, precision=precision)
+            dx = dx + (g_values * p)[:, None] * contrib
+            return dx, None
+
+        dx, _ = lax.scan(
+            body, jnp.zeros_like(patches), (prec_chol, means_prec, const)
+        )
+
+    zeros = lambda a: jnp.zeros_like(a)
+    return (dx, zeros(means_prec), zeros(prec_chol), zeros(log_det),
+            zeros(log_weights), zeros(pixel_weights))
+
+
+gmm_score.defvjp(_score_fwd, _score_bwd)

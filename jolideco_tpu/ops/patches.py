@@ -1,0 +1,204 @@
+"""Overlapping-patch kernels for the EPLL-style GMM patch prior.
+
+JAX equivalents of the reference's patch machinery (reference
+``jolideco/utils/torch.py:226-334`` and ``jolideco/utils/numpy.py:37-148``).
+The torch version uses ``Tensor.unfold`` views; here extraction is a pure
+gather with static shapes, so it jits, vmaps over observations, and feeds
+the Pallas GMM scoring kernel with a dense ``(n_patches, p*p)`` matrix.
+
+Patch element ordering is row-major within a patch and patches are laid
+out row-major over the grid of top-left corners — identical to
+``unfold(-2).unfold(-1).reshape(-1, p*p)`` in the reference.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "view_as_overlapping_patches",
+    "view_as_random_overlapping_patches",
+    "extract_patches_at",
+    "reconstruct_from_overlapping_patches",
+    "get_pixel_weights",
+    "evaluate_trapez",
+]
+
+
+def _patch_grid(size, patch, stride):
+    """Top-left corner positions of the patch grid along one axis."""
+    return np.arange(0, size - patch + 1, stride)
+
+
+def extract_patches_at(image, idy, idx, shape):
+    """Gather ``shape``-sized patches with top-left corners ``(idy, idx)``.
+
+    Parameters
+    ----------
+    image : array ``(H, W)``
+    idy, idx : int arrays, same shape ``(n,)`` (or broadcastable)
+        Patch corner coordinates. May be traced (jitter support).
+    shape : tuple of int (static)
+        Patch shape ``(ph, pw)``.
+
+    Returns
+    -------
+    patches : array ``(n, ph * pw)``
+    """
+    ph, pw = shape
+    dy = jnp.arange(ph)
+    dx = jnp.arange(pw)
+    rows = idy[:, None, None] + dy[None, :, None]
+    cols = idx[:, None, None] + dx[None, None, :]
+    patches = image[rows, cols]
+    return patches.reshape((-1, ph * pw))
+
+
+def view_as_overlapping_patches(image, shape, stride=None):
+    """View an image as a dense matrix of overlapping patches.
+
+    Equivalent of ``view_as_overlapping_patches_torch`` (reference
+    ``utils/torch.py:251-275``).
+
+    Parameters
+    ----------
+    image : array ``(..., H, W)``
+        Leading axes (e.g. ``(1, 1)``) are flattened away.
+    shape : tuple of int
+        Patch shape.
+    stride : int, optional
+        Defaults to half the patch size.
+
+    Returns
+    -------
+    patches : array ``(n_patches, ph * pw)``
+    """
+    if stride is None:
+        stride = shape[0] // 2
+    im = image.reshape(image.shape[-2:])
+    h, w = im.shape
+    iy = _patch_grid(h, shape[0], stride)
+    ix = _patch_grid(w, shape[1], stride)
+    idy, idx = np.meshgrid(iy, ix, indexing="ij")
+    return extract_patches_at(
+        im, jnp.asarray(idy.ravel()), jnp.asarray(idx.ravel()), shape
+    )
+
+
+def random_patch_indices(key, image_shape, shape, stride):
+    """Draw the jittered patch-corner grid of the reference.
+
+    Reproduces the index arithmetic of
+    ``view_as_random_overlapping_patches_torch`` (reference
+    ``utils/torch.py:278-334``): a regular grid starting at ``overlap``
+    with per-row/column integer jitter in ``[-overlap, overlap]``.
+
+    Returns
+    -------
+    idy, idx : int arrays ``(n,)``
+        Flattened corner coordinates (static count).
+    """
+    overlap = max(shape) - stride
+    ny, nx = image_shape[-2:]
+    base_x = np.arange(overlap, nx - stride - overlap, stride)
+    base_y = np.arange(overlap, ny - stride - overlap, stride)
+
+    kx, ky = jax.random.split(key)
+    jitter_x = jax.random.randint(kx, (len(base_x),), -overlap, overlap + 1)
+    jitter_y = jax.random.randint(ky, (len(base_y),), -overlap, overlap + 1)
+
+    idx = jnp.asarray(base_x) + jitter_x
+    idy = jnp.asarray(base_y) + jitter_y
+    idy, idx = jnp.meshgrid(idy, idx, indexing="ij")
+    return idy.ravel(), idx.ravel()
+
+
+def view_as_random_overlapping_patches(key, image, shape, stride):
+    """Jittered overlapping patches (PRNG-keyed).
+
+    Equivalent of ``view_as_random_overlapping_patches_torch``
+    (reference ``utils/torch.py:278-334``) with explicit keys.
+    """
+    im = image.reshape(image.shape[-2:])
+    idy, idx = random_patch_indices(key, im.shape, shape, stride)
+    return extract_patches_at(im, idy, idx, shape)
+
+
+def evaluate_trapez(x, width, slope):
+    """One-dimensional trapezoid profile (reference ``utils/numpy.py:37-51``)."""
+    x = np.asarray(x, dtype=np.float64)
+    x2 = min(-width / 2.0, 0)
+    x3 = max(width / 2.0, 0)
+    x1 = x2 - 1.0 / slope
+    x4 = x3 + 1.0 / slope
+
+    range_a = np.logical_and(x >= x1, x < x2)
+    range_b = np.logical_and(x >= x2, x < x3)
+    range_c = np.logical_and(x >= x3, x < x4)
+    val_a = slope * (x - x1)
+    val_c = slope * (x4 - x)
+    return np.select([range_a, range_b, range_c], [val_a, 1, val_c])
+
+
+def get_pixel_weights(patch_shape, stride):
+    """Trapezoidal per-pixel weights down-weighting patch overlap.
+
+    Host-side numpy, computed once per GMM (reference
+    ``utils/numpy.py:54-79``): overlapping pixels contribute less to the
+    patch log-likelihood so the total stays calibrated; normalised to sum
+    to ``stride**2``.
+    """
+    width = np.max(patch_shape)
+    overlap = width - stride
+
+    if overlap == 0:
+        # non-overlapping patches: uniform weights
+        return np.full(patch_shape, stride**2 / float(np.prod(patch_shape)))
+
+    value = (width - 1.0) / 2
+    x = np.linspace(-value, value, width)
+
+    values = evaluate_trapez(x=x, width=(stride - overlap), slope=1.0 / overlap)
+    weights = values * values[:, np.newaxis]
+    weights = weights / weights.sum() * stride**2
+    return weights
+
+
+def reconstruct_from_overlapping_patches(patches, image_shape, stride=None):
+    """Overlap-add reconstruction of an image from weighted patches.
+
+    Host-side numpy diagnostic used by ``GMMPatchPrior.prior_image``
+    (reference ``utils/numpy.py:109-148``).
+
+    Parameters
+    ----------
+    patches : array ``(n, ph, pw)``
+    image_shape : tuple of int
+    stride : int, optional
+
+    Returns
+    -------
+    image : ``numpy.ndarray``
+    """
+    patches = np.asarray(patches)
+    if stride is None:
+        stride = patches.shape[-1] // 2
+
+    image_height, image_width = image_shape
+    patch_height, patch_width = patches.shape[1:]
+    image = np.zeros(image_shape)
+
+    n_h = image_height - patch_height + 1
+    n_w = image_width - patch_width + 1
+
+    weights = get_pixel_weights(patch_shape=patches.shape[1:], stride=stride)
+
+    from itertools import product
+
+    for patch, (i, j) in zip(
+        patches, product(range(0, n_h, stride), range(0, n_w, stride))
+    ):
+        image[i : i + patch_height, j : j + patch_width] += weights * patch
+
+    return image
