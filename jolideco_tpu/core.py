@@ -1,0 +1,608 @@
+"""MAP deconvolution driver.
+
+TPU-first re-design of the reference's ``jolideco/core.py``: the public
+surface (`MAPDeconvolver`, `MAPDeconvolverResult`, the dataset-dict
+convention) matches the reference, but training is a pure jit-compiled
+function of a params pytree:
+
+- optimisation state is ``(params, opt_state)`` with optax Adam/SGD;
+- the reference's *one optimizer step per dataset per epoch* semantics
+  (reference ``core.py:209-230``) are preserved: datasets are unrolled
+  inside one jitted epoch step (``update_strategy="sequential"``);
+  ``update_strategy="joint"`` instead sums all dataset losses into a
+  single step — the variant that scales across chips (see
+  ``jolideco_tpu.parallel``);
+- epochs run either as a host loop over the jitted epoch function (when
+  per-epoch checkpointing / progress / early stopping needs host
+  control) or as a single ``lax.scan`` over all epochs
+  (``scan_epochs=True`` — the benchmark path);
+- randomness (prior cycle spins) comes from a threaded PRNG key;
+- flux errors use the exact Hessian-vector probe (reference drops the
+  Poisson term, SURVEY.md §3.4 — deviation documented in ``loss.py``).
+
+Trace-evaluation detail: the reference evaluates the post-epoch trace
+with fluxes captured *before* the final optimiser step of the epoch
+(``core.py:217-247``); here the trace uses the end-of-epoch parameters.
+"""
+
+import copy
+import logging
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .loss import TotalLoss
+from .models import FluxComponents, SparseSpatialFluxComponent, SpatialFluxComponent
+from .utils.misc import format_class_str
+from .utils.table import Table
+
+log = logging.getLogger(__name__)
+
+__all__ = ["MAPDeconvolver", "MAPDeconvolverResult"]
+
+
+def _build_adam(learning_rate, betas=(0.9, 0.999), eps=1e-8, **kwargs):
+    b1, b2 = betas
+    return optax.adam(learning_rate=learning_rate, b1=b1, b2=b2, eps=eps,
+                      **kwargs)
+
+
+def _build_sgd(learning_rate, momentum=0.0, nesterov=False, **kwargs):
+    return optax.sgd(learning_rate=learning_rate, momentum=momentum or None,
+                     nesterov=nesterov, **kwargs)
+
+
+OPTIMIZER = {
+    "adam": _build_adam,
+    "sgd": _build_sgd,
+}
+
+
+class MAPDeconvolver:
+    """Maximum a-posteriori deconvolver.
+
+    Parameters
+    ----------
+    n_epochs : int
+        Number of training epochs.
+    beta : float
+        Prior scale factor.
+    learning_rate : float
+    compute_error : bool
+        Compute flux errors from the loss Hessian diagonal after
+        training.
+    stop_early : bool
+        Stop when the validation loss stops improving.
+    stop_early_n_average : int
+        Moving-average window for early stopping.
+    display_progress : bool
+        Show a tqdm progress bar.
+    optimizer_type : {"adam", "sgd"}
+    optimizer_kwargs : dict, optional
+        Torch-style keys accepted: ``lr``, ``betas``, ``eps``,
+        ``momentum``.
+    checkpoint_path : str, optional
+        Directory for per-epoch checkpoints.
+    update_strategy : {"sequential", "joint"}
+        ``sequential`` = one optimiser step per dataset per epoch
+        (reference semantics); ``joint`` = one step per epoch on the
+        summed loss (multi-chip friendly).
+    scan_epochs : bool or None
+        Run all epochs in one ``lax.scan`` (fastest; no per-epoch host
+        callbacks). Default: auto — True when neither checkpointing nor
+        progress display is requested.
+    trace_every : int
+        Record the loss trace every N epochs (0 disables tracing; 1 =
+        reference behaviour).
+    seed : int
+        PRNG seed for prior randomness (cycle spins, jitter).
+    """
+
+    _default_flux_component = "flux"
+    _default_checkpoint_filename = "checkpoint-epoch-{epoch}.asdf"
+
+    def __init__(
+        self,
+        n_epochs=1_000,
+        beta=1,
+        learning_rate=0.1,
+        compute_error=False,
+        stop_early=False,
+        stop_early_n_average=10,
+        display_progress=True,
+        optimizer_type="adam",
+        optimizer_kwargs=None,
+        checkpoint_path=None,
+        update_strategy="sequential",
+        scan_epochs=None,
+        trace_every=1,
+        seed=0,
+        device=None,
+    ):
+        self.n_epochs = int(n_epochs)
+        self.beta = float(beta)
+        self.learning_rate = float(learning_rate)
+        self.compute_error = bool(compute_error)
+        self.stop_early = bool(stop_early)
+        self.stop_early_n_average = int(stop_early_n_average)
+        self.display_progress = bool(display_progress)
+        self.seed = int(seed)
+        self.device = device
+
+        if optimizer_type not in OPTIMIZER:
+            raise ValueError(
+                f"Unknown optimizer: {optimizer_type}, must be one of "
+                f"{list(OPTIMIZER)}"
+            )
+        self.optimizer_type = optimizer_type
+
+        optimizer_kwargs = dict(optimizer_kwargs or {})
+        # accept torch-style "lr"
+        if "lr" in optimizer_kwargs:
+            self.learning_rate = float(optimizer_kwargs.pop("lr"))
+        optimizer_kwargs.setdefault("learning_rate", self.learning_rate)
+        self.optimizer_kwargs = optimizer_kwargs
+
+        if update_strategy not in ("sequential", "joint"):
+            raise ValueError(
+                f"Unknown update strategy {update_strategy!r}, choose from "
+                "'sequential' or 'joint'"
+            )
+        self.update_strategy = update_strategy
+        self.scan_epochs = scan_epochs
+        self.trace_every = int(trace_every)
+
+        if checkpoint_path is not None:
+            checkpoint_path = Path(checkpoint_path)
+            checkpoint_path.mkdir(exist_ok=True, parents=True)
+        self.checkpoint_path = checkpoint_path
+
+    # ------------------------------------------------------------------
+    def to_dict(self):
+        """Configuration with simple data types."""
+        data = {}
+        data["n_epochs"] = self.n_epochs
+        data["beta"] = self.beta
+        data["learning_rate"] = self.learning_rate
+        data["compute_error"] = self.compute_error
+        data["stop_early"] = self.stop_early
+        data["stop_early_n_average"] = self.stop_early_n_average
+        data["display_progress"] = self.display_progress
+        data["optimizer_type"] = self.optimizer_type
+        data["update_strategy"] = self.update_strategy
+        data["trace_every"] = self.trace_every
+        data["seed"] = self.seed
+        data["checkpoint_path"] = str(self.checkpoint_path)
+        return data
+
+    def __str__(self):
+        return format_class_str(instance=self)
+
+    # ------------------------------------------------------------------
+    def _make_optimizer(self):
+        return OPTIMIZER[self.optimizer_type](**self.optimizer_kwargs)
+
+    def _make_epoch_fn(self, tx, n_datasets):
+        """Build the jitted epoch step.
+
+        Signature: ``epoch_fn(components, total_loss, params, opt_state,
+        key) -> (params, opt_state, trace_row)`` where ``trace_row`` is
+        a dict of scalars (empty when tracing is disabled).
+        """
+        beta = self.beta
+        sequential = self.update_strategy == "sequential"
+        trace_on = self.trace_every != 0
+
+        def loss_for_dataset(params, components, total_loss, idx, key):
+            fluxes = components.fluxes_from(params.get("components"))
+            loss = total_loss.poisson_loss.evaluate_dataset(
+                idx, fluxes, params.get("calibrations")
+            )
+            loss_prior = total_loss.prior_loss(
+                fluxes, params=params.get("components"), key=key
+            )
+            return loss - beta * loss_prior / n_datasets
+
+        def loss_joint(params, components, total_loss, key):
+            fluxes = components.fluxes_from(params.get("components"))
+            losses = total_loss.poisson_loss.evaluate(
+                fluxes, params.get("calibrations")
+            )
+            loss_prior = total_loss.prior_loss(
+                fluxes, params=params.get("components"), key=key
+            )
+            return jnp.sum(losses) - beta * loss_prior
+
+        def epoch_fn(components, total_loss, params, opt_state, key):
+            if sequential:
+                keys = jax.random.split(key, n_datasets + 1)
+                for idx in range(n_datasets):
+                    grads = jax.grad(loss_for_dataset)(
+                        params, components, total_loss, idx, keys[idx]
+                    )
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                trace_key = keys[-1]
+            else:
+                key, trace_key = jax.random.split(key)
+                grads = jax.grad(loss_joint)(
+                    params, components, total_loss, key
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+
+            if trace_on:
+                fluxes = components.fluxes_from(params.get("components"))
+                trace_row = total_loss.trace_row_values(
+                    fluxes,
+                    params=params.get("components"),
+                    key=trace_key,
+                    calibration_params=params.get("calibrations"),
+                )
+            else:
+                trace_row = {}
+            return params, opt_state, trace_row
+
+        return jax.jit(epoch_fn)
+
+    def _run_scan(self, epoch_fn, components, total_loss, params, opt_state,
+                  keys):
+        """All epochs in one jitted ``lax.scan`` with early-stop gating."""
+        stop_early = self.stop_early
+        n_average = self.stop_early_n_average
+
+        @jax.jit
+        def run(components, total_loss, params, opt_state, keys):
+            # determine the trace-row structure once
+            _, _, proto = epoch_fn(
+                components, total_loss, params, opt_state, keys[0]
+            )
+            nan_row = {k: jnp.float32(jnp.nan) for k in proto}
+
+            def body(carry, key_epoch):
+                params, opt_state, done, val_hist, count = carry
+
+                def active(operands):
+                    params, opt_state = operands
+                    return epoch_fn(
+                        components, total_loss, params, opt_state, key_epoch
+                    )
+
+                def idle(operands):
+                    params, opt_state = operands
+                    return params, opt_state, nan_row
+
+                params, opt_state, row = jax.lax.cond(
+                    done, idle, active, (params, opt_state)
+                )
+
+                if stop_early:
+                    val = row.get("datasets-validation-total", jnp.float32(0.0))
+                    val_hist = jnp.roll(val_hist, -1).at[-1].set(
+                        jnp.where(done, val_hist[-1], val)
+                    )
+                    count = count + jnp.where(done, 0, 1)
+                    avg = jnp.mean(val_hist)
+                    done = done | (
+                        (count > n_average) & (val > avg) & ~done
+                    )
+                return (params, opt_state, done, val_hist, count), row
+
+            init = (
+                params,
+                opt_state,
+                jnp.bool_(False),
+                jnp.full((n_average,), jnp.inf, jnp.float32),
+                jnp.int32(0),
+            )
+            (params, opt_state, done, _, count), rows = jax.lax.scan(
+                body, init, keys
+            )
+            return params, opt_state, rows, count
+
+        return run(components, total_loss, params, opt_state, keys)
+
+    # ------------------------------------------------------------------
+    def run(self, datasets, datasets_validation=None, components=None,
+            calibrations=None):
+        """Run the MAP deconvolution.
+
+        Parameters
+        ----------
+        datasets : dict of [str, dict]
+            Per-dataset dicts with ``counts``, ``psf``, ``exposure``,
+            ``background`` numpy arrays (``psf`` may be a dict keyed by
+            component).
+        datasets_validation : dict of [str, dict], optional
+        components : `FluxComponents` or `SpatialFluxComponent`
+        calibrations : `NPredCalibrations`, optional
+
+        Returns
+        -------
+        result : `MAPDeconvolverResult`
+        """
+        if self.stop_early and datasets_validation is None:
+            raise ValueError("Early stopping requires providing test datasets")
+
+        if isinstance(components, (SpatialFluxComponent,
+                                   SparseSpatialFluxComponent)):
+            components = {self._default_flux_component: components}
+
+        components = FluxComponents(components)
+        components_init = copy.deepcopy(components)
+        calibrations_init = copy.deepcopy(calibrations)
+
+        total_loss = TotalLoss.from_datasets_and_components(
+            datasets=datasets,
+            datasets_validation=datasets_validation,
+            components=components,
+            calibrations=calibrations,
+            beta=self.beta,
+        )
+
+        params = {"components": components.parameters()}
+        if calibrations:
+            calib_params = calibrations.parameters()
+            if calib_params:
+                params["calibrations"] = calib_params
+
+        tx = self._make_optimizer()
+        opt_state = tx.init(params)
+
+        n_datasets = total_loss.poisson_loss.n_datasets
+        epoch_fn = self._make_epoch_fn(tx, n_datasets)
+
+        key = jax.random.PRNGKey(self.seed)
+
+        use_scan = self.scan_epochs
+        if use_scan is None:
+            use_scan = (
+                self.checkpoint_path is None and not self.display_progress
+            )
+
+        if use_scan and self.checkpoint_path is None:
+            keys = jax.random.split(key, self.n_epochs)
+            params, opt_state, rows, count = self._run_scan(
+                epoch_fn, components, total_loss, params, opt_state, keys
+            )
+            rows = {k: np.asarray(v) for k, v in rows.items()}
+            n_rows = int(count) if self.stop_early else self.n_epochs
+            for i in range(n_rows):
+                if self.trace_every and i % self.trace_every == 0:
+                    row = {k: float(v[i]) for k, v in rows.items()}
+                    row["filename"] = ""
+                    total_loss.trace.add_row(row)
+        else:
+            self._run_host_loop(
+                epoch_fn, components, total_loss, calibrations, params,
+                opt_state, key,
+            )
+            params = self._last_params
+            opt_state = self._last_opt_state
+
+        # write back trained parameters
+        components.set_parameters(params.get("components", {}))
+        if calibrations and "calibrations" in params:
+            calibrations.set_parameters(params["calibrations"])
+
+        if self.compute_error:
+            fluxes = components.fluxes_from()
+            flux_errors = total_loss.fluxes_error(fluxes=fluxes)
+            components.set_flux_errors(flux_errors=flux_errors)
+
+        config = self.to_dict()
+        return MAPDeconvolverResult(
+            config=config,
+            components=components,
+            components_init=components_init,
+            trace_loss=total_loss.trace,
+            calibrations=calibrations,
+            calibrations_init=calibrations_init,
+            opt_state=opt_state,
+            wcs=None,
+        )
+
+    def _run_host_loop(self, epoch_fn, components, total_loss, calibrations,
+                       params, opt_state, key):
+        """Host loop over epochs: progress bar, checkpoints, early stop."""
+        from tqdm.auto import tqdm
+
+        disable = not self.display_progress
+        n_datasets = total_loss.poisson_loss.n_datasets
+
+        postfix_every = max(1, self.n_epochs // 200)
+
+        with tqdm(total=self.n_epochs * n_datasets, disable=disable) as pbar:
+            for epoch in range(self.n_epochs):
+                pbar.set_description(f"Epoch {epoch + 1}")
+                key, key_epoch = jax.random.split(key)
+                params, opt_state, row = epoch_fn(
+                    components, total_loss, params, opt_state, key_epoch
+                )
+                pbar.update(n_datasets)
+
+                if self.checkpoint_path:
+                    filename = self._default_checkpoint_filename.format(
+                        epoch=epoch
+                    )
+                    components.set_parameters(params.get("components", {}))
+                    if calibrations and "calibrations" in params:
+                        calibrations.set_parameters(params["calibrations"])
+                    checkpoint = MAPDeconvolverResult(
+                        config=self.to_dict(),
+                        trace_loss=total_loss.trace,
+                        components=components,
+                        calibrations=calibrations,
+                    )
+                    log.info(
+                        f"Writing checkpoint to {self.checkpoint_path / filename}"
+                    )
+                    checkpoint.write(filename=self.checkpoint_path / filename)
+                else:
+                    filename = ""
+
+                record = self.trace_every and epoch % self.trace_every == 0
+                if record and row:
+                    total_loss.append_trace_device_row(row, filename=filename)
+
+                if record and row and not disable and (
+                    epoch % postfix_every == 0
+                ):
+                    last = total_loss.trace[-1]
+                    pbar.set_postfix(
+                        total=last["total"],
+                        datasets_total=last["datasets-total"],
+                        priors_total=last["priors-total"],
+                    )
+
+                if (
+                    self.stop_early
+                    and len(total_loss.trace) > self.stop_early_n_average
+                ):
+                    values = total_loss.trace["datasets-validation-total"]
+                    average = np.mean(values[-self.stop_early_n_average:])
+                    if values[-1] > average:
+                        break
+
+        self._last_params = params
+        self._last_opt_state = opt_state
+
+
+class MAPDeconvolverResult:
+    """MAP deconvolver result.
+
+    Parameters
+    ----------
+    config : dict
+    components : `FluxComponents`
+    trace_loss : `Table` or dict
+    components_init : `FluxComponents`, optional
+    calibrations, calibrations_init : `NPredCalibrations`, optional
+    opt_state : optax state, optional
+        Retained so training can resume from a result (not available in
+        the reference, SURVEY.md §5).
+    wcs : optional
+    """
+
+    def __init__(self, config, components, trace_loss, components_init=None,
+                 calibrations=None, calibrations_init=None, opt_state=None,
+                 wcs=None):
+        self._components = components
+        self._components_init = components_init
+        if isinstance(trace_loss, dict):
+            trace_loss = Table.from_dict(trace_loss)
+        self.trace_loss = trace_loss
+        self._calibrations = calibrations
+        self._calibrations_init = calibrations_init
+        self._config = config
+        self._opt_state = opt_state
+        self._wcs = wcs
+
+    @property
+    def config(self):
+        """Configuration dict."""
+        return self._config
+
+    @property
+    def components(self):
+        """Flux components."""
+        return self._components
+
+    @property
+    def components_init(self):
+        """Initial flux components."""
+        return self._components_init
+
+    @property
+    def calibrations(self):
+        """Calibrations."""
+        return self._calibrations
+
+    @property
+    def calibrations_init(self):
+        """Initial calibrations."""
+        return self._calibrations_init
+
+    @property
+    def opt_state(self):
+        """Final optimiser state (for resuming)."""
+        return self._opt_state
+
+    @property
+    def flux_total(self):
+        """Total flux at data resolution."""
+        return self.components.flux_total_numpy
+
+    @property
+    def flux_upsampled_total(self):
+        """Total upsampled flux."""
+        return self.components.flux_upsampled_total_numpy
+
+    @property
+    def checkpoint_path(self):
+        """Checkpoint directory."""
+        return Path(self.config.get("checkpoint_path", None))
+
+    def read_checkpoint(self, epoch):
+        """Read the checkpoint written at ``epoch``."""
+        filename = self.checkpoint_path / self.trace_loss["filename"][epoch]
+        return self.__class__.read(filename=filename)
+
+    @property
+    def config_table(self):
+        """Configuration as a single-row table."""
+        config = Table(names=list(self.config), dtype=[str] * len(self.config))
+        config.add_row({k: str(v) for k, v in self.config.items()})
+        return config
+
+    def plot_trace_loss(self, ax=None, which=None, **kwargs):
+        """Plot the loss trace."""
+        import matplotlib.pyplot as plt
+
+        from .utils.plot import plot_trace_loss
+
+        ax = plt.gca() if ax is None else ax
+        plot_trace_loss(ax=ax, trace_loss=self.trace_loss, which=which, **kwargs)
+        return ax
+
+    def peek(self, figsize=(12, 5), kwargs_norm=None):
+        """Plot the reconstruction and the loss trace."""
+        import matplotlib.pyplot as plt
+
+        from .utils.plot import add_cbar, simple_norm
+
+        fig, axes = plt.subplots(nrows=1, ncols=2, figsize=figsize)
+        self.plot_trace_loss(ax=axes[0])
+
+        kwargs_norm = kwargs_norm or {"vmin": 0, "stretch": "asinh",
+                                      "asinh_a": 0.01}
+        flux = self.components.flux_total_numpy
+        norm = simple_norm(flux, **kwargs_norm)
+        im = axes[1].imshow(flux, origin="lower", norm=norm,
+                            interpolation="None")
+        add_cbar(im=im, ax=axes[1], fig=fig)
+
+    def write(self, filename, overwrite=False, format=None):
+        """Write the result to file."""
+        from .utils.io import IO_FORMATS_MAP_RESULT_WRITE, get_writer
+
+        writer = get_writer(
+            filename=filename, format=format,
+            registry=IO_FORMATS_MAP_RESULT_WRITE,
+        )
+        writer(result=self, filename=filename, overwrite=overwrite)
+
+    @classmethod
+    def read(cls, filename, format=None):
+        """Read a result from file."""
+        from .utils.io import IO_FORMATS_MAP_RESULT_READ, get_reader
+
+        reader = get_reader(
+            filename=filename, format=format,
+            registry=IO_FORMATS_MAP_RESULT_READ,
+        )
+        return reader(filename=filename)

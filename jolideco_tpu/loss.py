@@ -1,0 +1,318 @@
+"""Loss functions: Poisson NLL per dataset, prior loss, total loss.
+
+Functional JAX re-design of the reference's ``jolideco/loss.py``. The
+loss objects are registered pytrees holding the static per-dataset data
+(counts + forward models), so jitted training steps take them as
+arguments; all evaluation paths are traceable given an explicit params
+pytree and PRNG keys.
+
+Two deliberate deviations from reference quirks (SURVEY.md §3.4):
+
+- ``PoissonLoss.evaluate`` keeps per-dataset losses differentiable
+  (the reference rebuilds a detached tensor, ``loss.py:71``, silently
+  dropping the Poisson term from Hessian-based flux errors);
+- dataset weights default to 1 when no calibrations are present (the
+  reference's ``PoissonLoss.__call__`` returns 0 in that case,
+  ``loss.py:40-49,126-133``).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .models import NPredModels
+from .utils.pytree import register_pytree
+from .utils.table import Table
+
+__all__ = ["PoissonLoss", "PriorLoss", "TotalLoss", "poisson_nll"]
+
+
+def poisson_nll(npred, counts, eps=1e-25, full=True):
+    """Mean Poisson negative log-likelihood.
+
+    Matches ``torch.nn.PoissonNLLLoss(log_input=False, reduction="mean",
+    eps=1e-25, full=True)`` (reference ``loss.py:35-37``):
+    ``npred - counts * log(npred + eps)`` plus, where ``counts > 1``,
+    the Stirling term ``counts log counts - counts + 0.5 log(2 pi
+    counts)``.
+    """
+    loss = npred - counts * jnp.log(npred + eps)
+    if full:
+        stirling = (
+            counts * jnp.log(jnp.maximum(counts, 1.0))
+            - counts
+            + 0.5 * jnp.log(2.0 * jnp.pi * jnp.maximum(counts, 1.0))
+        )
+        loss = loss + jnp.where(counts > 1, stirling, 0.0)
+    return jnp.mean(loss)
+
+
+class PoissonLoss:
+    """Per-dataset Poisson likelihood terms.
+
+    Parameters
+    ----------
+    counts_all : tuple of arrays
+    npred_models_all : tuple of `NPredModels`
+    names_all : tuple of str
+    """
+
+    def __init__(self, counts_all, npred_models_all, names_all):
+        if len(counts_all) != len(npred_models_all):
+            raise ValueError(
+                "counts_all and npred_models_all must have the same length"
+            )
+        self.counts_all = tuple(jnp.asarray(c, jnp.float32) for c in counts_all)
+        self.npred_models_all = tuple(npred_models_all)
+        self.names_all = tuple(names_all)
+
+    loss_function = staticmethod(poisson_nll)
+
+    @property
+    def n_datasets(self):
+        """Number of datasets."""
+        return len(self.counts_all)
+
+    @property
+    def weights(self):
+        """Per-dataset likelihood weights (from calibrations, else 1)."""
+        weights = []
+        for model in self.npred_models_all:
+            if model.calibration is not None:
+                weights.append(model.calibration.weight)
+            else:
+                weights.append(1.0)
+        return jnp.asarray(weights, jnp.float32)
+
+    @property
+    def iter_by_dataset(self):
+        """Iterate over (counts, npred_models) pairs."""
+        yield from zip(self.counts_all, self.npred_models_all)
+
+    def evaluate_dataset(self, idx, fluxes, calibration_params=None):
+        """Loss of dataset ``idx`` (traceable; ``idx`` static)."""
+        npred_models = self.npred_models_all[idx]
+        calib_params = None
+        if calibration_params is not None:
+            calib_params = calibration_params.get(self.names_all[idx])
+        npred = npred_models.evaluate(
+            fluxes=fluxes, calibration_params=calib_params
+        )
+        return self.loss_function(npred, self.counts_all[idx])
+
+    def evaluate(self, fluxes, calibration_params=None):
+        """Per-dataset losses as a stacked array (differentiable)."""
+        losses = [
+            self.evaluate_dataset(idx, fluxes, calibration_params)
+            for idx in range(self.n_datasets)
+        ]
+        return jnp.stack(losses)
+
+    def __call__(self, fluxes, calibration_params=None):
+        """Weighted sum of dataset losses."""
+        losses = self.evaluate(fluxes, calibration_params)
+        return jnp.sum(losses * self.weights)
+
+    @classmethod
+    def from_datasets(cls, datasets, components, calibrations=None,
+                      fft_shape=None):
+        """Build per-dataset models from raw numpy dataset dicts."""
+        npred_models_all, counts_all = [], []
+
+        for name, dataset in datasets.items():
+            calibration = calibrations[name] if calibrations else None
+            npred_models = NPredModels.from_dataset_numpy(
+                dataset=dataset, components=components,
+                calibration=calibration, fft_shape=fft_shape,
+            )
+            npred_models_all.append(npred_models)
+            counts = np.asarray(dataset["counts"])[np.newaxis, np.newaxis]
+            counts_all.append(jnp.asarray(counts, jnp.float32))
+
+        return cls(
+            counts_all=counts_all,
+            npred_models_all=npred_models_all,
+            names_all=list(datasets),
+        )
+
+
+register_pytree(
+    PoissonLoss,
+    children_attrs=("counts_all", "npred_models_all"),
+    aux_attrs=("names_all",),
+)
+
+
+class PriorLoss:
+    """Sum of per-component prior terms."""
+
+    def __init__(self, priors):
+        self.priors = priors
+
+    def evaluate(self, fluxes, params=None, key=None):
+        """Per-component log-prior values (traceable)."""
+        keys = (
+            jax.random.split(key, len(self.priors))
+            if key is not None
+            else [None] * len(self.priors)
+        )
+        values = []
+        for idx, (name, prior) in enumerate(self.priors.items()):
+            prior_params = None
+            if params is not None and name in params:
+                prior_params = params[name].get("prior")
+            values.append(
+                prior(flux=fluxes[idx], params=prior_params, key=keys[idx])
+            )
+        return values
+
+    def __call__(self, fluxes, params=None, key=None):
+        """Summed log-prior."""
+        return sum(self.evaluate(fluxes, params=params, key=key))
+
+
+register_pytree(PriorLoss, children_attrs=("priors",))
+
+
+class TotalLoss:
+    """Poisson + beta-weighted prior loss with trace bookkeeping."""
+
+    def __init__(self, poisson_loss, prior_loss, poisson_loss_validation=None,
+                 beta=1):
+        self.poisson_loss = poisson_loss
+        self.poisson_loss_validation = poisson_loss_validation
+        self.prior_loss = prior_loss
+        self.beta = float(beta)
+        self._trace = None
+
+    @property
+    def prior_weight(self):
+        """Prior normalisation: the number of datasets."""
+        return self.poisson_loss.n_datasets
+
+    @property
+    def trace(self):
+        """Loss trace table (built lazily)."""
+        if self._trace is None:
+            names = ["total", "datasets-total", "priors-total"]
+            names += [f"prior-{name}" for name in self.prior_loss.priors]
+            names += [f"dataset-{name}" for name in self.poisson_loss.names_all]
+            if self.poisson_loss_validation:
+                names += ["datasets-validation-total"]
+            names += ["filename"]
+            dtypes = [float] * (len(names) - 1) + [str]
+            self._trace = Table(names=names, dtype=dtypes)
+        return self._trace
+
+    def trace_row_values(self, fluxes, params=None, key=None,
+                         calibration_params=None):
+        """Traceable dict of scalar trace entries for the current state."""
+        loss_datasets = self.poisson_loss.evaluate(fluxes, calibration_params)
+        loss_priors = self.prior_loss.evaluate(
+            fluxes, params=params, key=key
+        )
+
+        loss_datasets_total = jnp.sum(loss_datasets)
+        loss_priors_total = self.beta * sum(loss_priors)
+
+        row = {
+            "total": loss_datasets_total - loss_priors_total,
+            "datasets-total": loss_datasets_total,
+            "priors-total": -loss_priors_total,
+        }
+        for name, value in zip(self.prior_loss.priors, loss_priors):
+            row[f"prior-{name}"] = -self.beta * value
+        for name, value in zip(self.poisson_loss.names_all, loss_datasets):
+            row[f"dataset-{name}"] = value
+
+        if self.poisson_loss_validation:
+            loss_validation = self.poisson_loss_validation.evaluate(
+                fluxes, calibration_params
+            )
+            row["datasets-validation-total"] = jnp.sum(loss_validation)
+
+        return row
+
+    def append_trace(self, fluxes, filename="", params=None, key=None,
+                     calibration_params=None):
+        """Evaluate and append one trace row (host-side)."""
+        row = {
+            k: float(v)
+            for k, v in self.trace_row_values(
+                fluxes, params=params, key=key,
+                calibration_params=calibration_params,
+            ).items()
+        }
+        row["filename"] = str(filename)
+        self.trace.add_row(row)
+
+    def append_trace_device_row(self, row, filename=""):
+        """Append a row of already-computed (device) scalars."""
+        host_row = {k: float(v) for k, v in row.items()}
+        host_row["filename"] = str(filename)
+        self.trace.add_row(host_row)
+
+    def __call__(self, fluxes, params=None, key=None, calibration_params=None):
+        """Total loss as a function of the flux tuple (differentiable)."""
+        loss_datasets = self.poisson_loss.evaluate(fluxes, calibration_params)
+        loss_priors = self.prior_loss.evaluate(fluxes, params=params, key=key)
+        return jnp.sum(loss_datasets) - self.beta * sum(loss_priors)
+
+    def hessian_diagonals(self, fluxes, key=None):
+        """Hessian-vector product of the total loss with a ones vector.
+
+        Same probe as the reference (``torch.autograd.functional.vhp``
+        with unit vectors, ``loss.py:263-279``) but through the full
+        differentiable loss — the reference silently drops the Poisson
+        term (see module docstring).
+        """
+        ones = tuple(jnp.ones_like(flux) for flux in fluxes)
+
+        def f(flux_tuple):
+            return self(flux_tuple, key=key)
+
+        _, hvp = jax.jvp(jax.grad(f), (tuple(fluxes),), (ones,))
+        return hvp
+
+    def fluxes_error(self, fluxes, key=None):
+        """Flux errors ``1 / sqrt(H_diag)`` per component."""
+        fluxes_error = {}
+        hessians = self.hessian_diagonals(fluxes=fluxes, key=key)
+        for name, hessian in zip(self.prior_loss.priors, hessians):
+            fluxes_error[name] = jnp.sqrt(1.0 / hessian)
+        return fluxes_error
+
+    @classmethod
+    def from_datasets_and_components(cls, datasets, components,
+                                     datasets_validation=None, beta=1,
+                                     calibrations=None, fft_shape=None):
+        """Build the total loss from raw datasets and components."""
+        poisson_loss = PoissonLoss.from_datasets(
+            datasets=datasets, components=components,
+            calibrations=calibrations, fft_shape=fft_shape,
+        )
+
+        poisson_loss_validation = None
+        if datasets_validation:
+            poisson_loss_validation = PoissonLoss.from_datasets(
+                datasets=datasets_validation, components=components,
+                calibrations=calibrations, fft_shape=fft_shape,
+            )
+
+        prior_loss = PriorLoss(priors=components.priors)
+
+        return cls(
+            poisson_loss=poisson_loss,
+            poisson_loss_validation=poisson_loss_validation,
+            prior_loss=prior_loss,
+            beta=beta,
+        )
+
+
+register_pytree(
+    TotalLoss,
+    children_attrs=("poisson_loss", "prior_loss", "poisson_loss_validation"),
+    aux_attrs=("beta",),
+    defaults={"_trace": None},
+)

@@ -1,0 +1,379 @@
+"""GMM patch prior (EPLL) and multiscale wrapper — the flagship prior.
+
+TPU-first re-design of the reference pipeline
+(``jolideco/priors/patches/core.py:189-246``):
+
+1. image norm (optionally with learnable parameters from the training
+   pytree),
+2. integer cycle spin (``jnp.roll``, explicit PRNG key) and optional
+   subpixel spin,
+3. overlapping (or jittered) patch extraction as a static-shape gather,
+4. zero-flux patch *masking* — the reference drops patches by boolean
+   indexing, which is shape-dynamic; here invalid patches are zeroed
+   before scoring and excluded from the sum, which is numerically
+   identical and keeps the whole prior jittable,
+5. per-patch mean subtraction,
+6. streaming GMM scoring (``ops.gmm_score``): max over components (MAP)
+   or logsumexp (marginalisation) without materialising the
+   ``(n_patches, K)`` logit matrix.
+"""
+
+import logging
+from math import sqrt
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.fft import convolve_fft
+from ...ops.image import avg_pool, cycle_spin, cycle_spin_subpixel
+from ...ops.patches import (
+    reconstruct_from_overlapping_patches,
+    view_as_overlapping_patches,
+    view_as_random_overlapping_patches,
+)
+from ...utils.kernels import gaussian_kernel_2d
+from ...utils.norms import IdentityImageNorm, ImageNorm, PatchNorm
+from ...utils.pytree import register_pytree
+from ..core import Prior
+from .gmm import GaussianMixtureModel
+
+__all__ = ["GMMPatchPrior", "MultiScalePrior"]
+
+log = logging.getLogger(__name__)
+
+ZERO_FLUX_SENTINEL = -1e5
+
+
+class GMMPatchPrior(Prior):
+    """Patch prior scoring overlapping patches under a GMM.
+
+    Parameters
+    ----------
+    gmm : `GaussianMixtureModel`, optional
+        Defaults to the registry's ``zoran-weiss`` entry (the built-in
+        GMM when the external library is not installed).
+    stride : int, optional
+        Patch stride; defaults to the GMM's meta stride.
+    cycle_spin : bool
+        Random integer roll each evaluation.
+    cycle_spin_subpix : bool
+        Additional random subpixel shift.
+    norm : `ImageNorm`
+        Image normalisation applied before patch extraction.
+    patch_norm : `PatchNorm`, optional
+        Defaults to the GMM's meta patch norm.
+    jitter : bool
+        Randomly jitter patch positions.
+    marginalize : bool
+        logsumexp over components instead of max.
+    seed : int
+        Host-side PRNG seed for eager evaluation.
+    """
+
+    def __init__(
+        self,
+        gmm=None,
+        stride=None,
+        cycle_spin=True,
+        cycle_spin_subpix=False,
+        norm=None,
+        patch_norm=None,
+        jitter=False,
+        marginalize=False,
+        seed=0,
+    ):
+        super().__init__(seed=seed)
+
+        if gmm is None:
+            gmm = GaussianMixtureModel.from_registry(name="zoran-weiss")
+        self.gmm = gmm
+
+        if stride is None:
+            stride = gmm.meta.stride
+        self.stride = int(stride)
+
+        self.cycle_spin = bool(cycle_spin)
+        self.cycle_spin_subpix = bool(cycle_spin_subpix)
+
+        if norm is None:
+            norm = IdentityImageNorm()
+        self.norm = norm
+
+        if patch_norm is None:
+            patch_norm = gmm.meta.patch_norm
+        self.patch_norm = patch_norm
+
+        self.jitter = bool(jitter)
+        self.marginalize = bool(marginalize)
+
+    # ------------------------------------------------------------------
+    @property
+    def patch_shape(self):
+        """Patch shape from the GMM feature dimension."""
+        npix = int(sqrt(self.gmm.means_numpy.shape[-1]))
+        return npix, npix
+
+    @property
+    def overlap(self):
+        """Patch overlap in pixels."""
+        return max(self.patch_shape) - self.stride
+
+    @property
+    def log_like_weight(self):
+        """Per-patch weight correcting for patch overlap."""
+        return self.stride**2 / float(np.prod(self.patch_shape))
+
+    def parameters(self):
+        """Trainable hyper-parameters: the image-norm parameters."""
+        norm_params = self.norm.parameters()
+        if norm_params:
+            return {"norm": norm_params}
+        return {}
+
+    def set_parameters(self, params):
+        if params and "norm" in params:
+            self.norm.set_parameters(params["norm"])
+
+    # ------------------------------------------------------------------
+    def _evaluate_log_like(self, flux, params=None, key=None):
+        """Per-patch log-likelihoods, validity mask and metadata.
+
+        Returns ``(values, argmax, valid, patch_means, shifts)`` where
+        ``values``/``argmax`` come from the streaming GMM scorer.
+        """
+        if key is None:
+            key = self.next_key()
+        key_spin, key_subpix, key_jitter = jax.random.split(key, 3)
+
+        norm_params = None if params is None else params.get("norm")
+        normed = self.norm(flux, params=norm_params)
+
+        shifts = jnp.zeros((2,), jnp.int32)
+        if self.cycle_spin:
+            normed, shifts = cycle_spin(
+                key_spin, normed, patch_shape=self.patch_shape
+            )
+
+        if self.cycle_spin_subpix:
+            normed = cycle_spin_subpixel(key_subpix, normed)
+
+        if self.jitter:
+            patches = view_as_random_overlapping_patches(
+                key_jitter, normed, shape=self.patch_shape, stride=self.stride
+            )
+        else:
+            patches = view_as_overlapping_patches(
+                normed, shape=self.patch_shape, stride=self.stride
+            )
+
+        # zero-flux patch filter, shape-static: mask instead of drop
+        # (reference priors/patches/core.py:213-216)
+        valid = jnp.all(patches > ZERO_FLUX_SENTINEL, axis=1)
+        patches = jnp.where(valid[:, None], patches, 0.0)
+
+        patch_means = jnp.nanmean(patches, axis=1, keepdims=True)
+        patches = self.patch_norm(patches)
+        values, argmax = self.gmm.score(patches, marginalize=self.marginalize)
+        return values, argmax, valid, patch_means, shifts
+
+    def __call__(self, flux, params=None, key=None, mask=None):
+        """Scalar log-prior: overlap-weighted mean of patch scores."""
+        values, _, valid, _, _ = self._evaluate_log_like(
+            flux, params=params, key=key
+        )
+        values = jnp.where(valid, values, 0.0)
+        return jnp.sum(values) * self.log_like_weight / flux.size
+
+    # ------------------------------------------------------------------
+    def prior_image(self, flux):
+        """Patch image from the eigen-images of the best-fit components.
+
+        Diagnostic (host-side numpy), reference
+        ``priors/patches/core.py:123-151``.
+        """
+        if self.jitter:
+            raise ValueError(
+                "Computing prior images with jittering is not supported."
+            )
+
+        flux = jnp.asarray(flux)
+        _, argmax, valid, patch_means, shifts = self._evaluate_log_like(flux)
+
+        idx = np.asarray(argmax)
+        eigen_images = self.gmm.eigen_images
+        patches = eigen_images[idx] + np.asarray(patch_means).reshape((-1, 1, 1))
+
+        reco = reconstruct_from_overlapping_patches(
+            patches=patches, image_shape=flux.shape[-2:], stride=self.stride
+        )
+        image = np.roll(reco, shift=-1 * np.asarray(shifts), axis=(0, 1))
+        scaled = self.norm.inverse(jnp.asarray(image, jnp.float32))
+        return np.asarray(scaled)
+
+    def prior_image_average(self, flux, n_average=100):
+        """Average of :meth:`prior_image` over cycle spins."""
+        flux = np.asarray(flux)[None, None]
+        images = [self.prior_image(flux) for _ in range(n_average)]
+        return np.mean(images, axis=0)
+
+    # ------------------------------------------------------------------
+    def to_dict(self):
+        data = super().to_dict()
+        data["stride"] = int(self.stride)
+        data["cycle_spin"] = bool(self.cycle_spin)
+        data["cycle_spin_subpix"] = bool(self.cycle_spin_subpix)
+        data["jitter"] = bool(self.jitter)
+        data["marginalize"] = bool(self.marginalize)
+        data["gmm"] = self.gmm.to_dict()
+        data["norm"] = self.norm.to_dict()
+        data["patch_norm"] = self.patch_norm.to_dict()
+        return data
+
+    @classmethod
+    def from_dict(cls, data):
+        kwargs = {k: v for k, v in data.items() if k != "type"}
+
+        gmm_config = kwargs.pop("gmm", None)
+        if gmm_config is not None:
+            kwargs["gmm"] = GaussianMixtureModel.from_dict(gmm_config)
+
+        norm_config = kwargs.pop("norm", None)
+        if norm_config is not None:
+            kwargs["norm"] = ImageNorm.from_dict(norm_config)
+
+        patch_norm_config = kwargs.pop("patch_norm", None)
+        if patch_norm_config is not None:
+            kwargs["patch_norm"] = PatchNorm.from_dict(patch_norm_config)
+
+        kwargs.pop("device", None)  # reference-format compatibility
+        return cls(**kwargs)
+
+
+register_pytree(
+    GMMPatchPrior,
+    children_attrs=("gmm",),
+    aux_attrs=(
+        "stride",
+        "cycle_spin",
+        "cycle_spin_subpix",
+        "jitter",
+        "marginalize",
+        "norm",
+        "patch_norm",
+    ),
+    defaults={"_key": None},
+)
+
+
+class MultiScalePrior(Prior):
+    """Apply a prior across resolution levels and sum contributions.
+
+    Reference ``priors/patches/core.py:249-337``. Level weights are
+    learnable (softmax-normalised log-weights). Level evaluation is
+    always computed for every level (a zero weight multiplies the term
+    away) — the reference's data-dependent ``weight == 0: continue`` is
+    not expressible under jit.
+    """
+
+    def __init__(self, prior, n_levels=2, weights=None, cycle_spin=True,
+                 anti_alias=True, seed=0):
+        super().__init__(seed=seed)
+        self.n_levels = int(n_levels)
+        self.cycle_spin = bool(cycle_spin)
+        self.prior = prior
+
+        if weights is None:
+            weights = np.full(self.n_levels, 1.0 / self.n_levels)
+        self._log_weights = jnp.asarray(np.log(np.asarray(weights)), jnp.float32)
+        self.anti_alias = bool(anti_alias)
+
+        # anti-alias kernels are static per level
+        self._kernels = tuple(
+            jnp.asarray(
+                gaussian_kernel_2d(2 * 2**idx / 6.0)[None, None], jnp.float32
+            )
+            for idx in range(self.n_levels)
+        )
+
+    @property
+    def weights(self):
+        """Softmax-normalised level weights."""
+        w = jnp.exp(self._log_weights)
+        return w / jnp.sum(w)
+
+    def parameters(self):
+        params = {"log_weights": self._log_weights}
+        sub = self.prior.parameters()
+        if sub:
+            params["prior"] = sub
+        return params
+
+    def set_parameters(self, params):
+        if not params:
+            return
+        if "log_weights" in params:
+            self._log_weights = jnp.asarray(params["log_weights"])
+        self.prior.set_parameters(params.get("prior"))
+
+    def __call__(self, flux, params=None, key=None):
+        if key is None:
+            key = self.next_key()
+        keys = jax.random.split(key, self.n_levels + 1)
+
+        log_weights = (
+            params["log_weights"] if params and "log_weights" in params
+            else self._log_weights
+        )
+        w = jnp.exp(log_weights)
+        weights = w / jnp.sum(w)
+
+        prior_params = None if params is None else params.get("prior")
+
+        if self.cycle_spin:
+            flux, _ = cycle_spin(
+                keys[-1], flux, patch_shape=self.prior.patch_shape
+            )
+
+        log_like = 0.0
+        for idx in range(self.n_levels):
+            factor = 2**idx
+
+            if self.anti_alias:
+                # NOTE: cumulative smoothing across levels, matching the
+                # reference's in-place loop (patches/core.py:310-322)
+                flux = convolve_fft(flux, self._kernels[idx])
+
+            flux_downsampled = avg_pool(flux, factor)
+            log_like_level = self.prior(
+                flux=flux_downsampled, params=prior_params, key=keys[idx]
+            )
+            log_like += factor**2 * weights[idx] * log_like_level
+
+        return log_like
+
+    def to_dict(self):
+        return dict(
+            n_levels=self.n_levels,
+            weights=np.asarray(self.weights).tolist(),
+            cycle_spin=self.cycle_spin,
+            anti_alias=self.anti_alias,
+            prior=self.prior.to_dict(),
+        )
+
+    @classmethod
+    def from_dict(cls, data):
+        kwargs = {k: v for k, v in data.items() if k != "type"}
+        prior_config = kwargs.pop("prior", None)
+        if prior_config is not None:
+            kwargs["prior"] = Prior.from_dict(prior_config)
+        return cls(**kwargs)
+
+
+register_pytree(
+    MultiScalePrior,
+    children_attrs=("prior", "_log_weights", "_kernels"),
+    aux_attrs=("n_levels", "cycle_spin", "anti_alias"),
+    defaults={"_key": None},
+)
