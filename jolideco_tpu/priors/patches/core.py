@@ -111,8 +111,8 @@ class GMMPatchPrior(Prior):
     # ------------------------------------------------------------------
     @property
     def patch_shape(self):
-        """Patch shape from the GMM feature dimension."""
-        npix = int(sqrt(self.gmm.means_numpy.shape[-1]))
+        """Patch shape from the GMM feature dimension (static)."""
+        npix = int(sqrt(self.gmm.means.shape[-1]))
         return npix, npix
 
     @property

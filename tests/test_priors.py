@@ -1,0 +1,246 @@
+"""Prior tests: parametric priors, GMM patch prior, multiscale, LIRA."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+import jax.numpy as jnp
+
+from jolideco_tpu.priors import (
+    ExponentialPrior,
+    GaussianMixtureModel,
+    GMMPatchPrior,
+    ImagePrior,
+    InverseGammaPrior,
+    LIRAPrior,
+    MultiScalePrior,
+    PRIOR_REGISTRY,
+    Priors,
+    SmoothnessPrior,
+    UniformPrior,
+)
+from jolideco_tpu.priors.patches.gmm import GMM_REGISTRY
+from jolideco_tpu.utils.norms import ASinhImageNorm
+
+
+@pytest.fixture
+def flux():
+    rs = np.random.RandomState(642020)
+    return jnp.asarray(rs.gamma(20, size=(1, 1, 32, 32)), jnp.float32)
+
+
+def test_uniform_prior(flux):
+    prior = UniformPrior()
+    assert_allclose(float(prior(flux=flux)), 0.0)
+
+
+def test_inverse_gamma_prior(flux):
+    prior = InverseGammaPrior(alpha=10, beta=3 / 2)
+    value = float(prior(flux=flux))
+    # cross-check vs scipy.stats.invgamma mean log-pdf
+    from scipy.stats import invgamma
+
+    expected = invgamma.logpdf(
+        np.asarray(flux).ravel(), a=10, scale=3 / 2
+    ).mean()
+    assert_allclose(value, expected, rtol=1e-4)
+
+
+def test_exponential_prior(flux):
+    prior = ExponentialPrior(alpha=2)
+    value = float(prior(flux=flux))
+    from scipy.stats import expon
+
+    expected = expon.logpdf(np.asarray(flux).ravel(), scale=1 / 2).mean()
+    assert_allclose(value, expected, rtol=1e-4)
+
+
+def test_smoothness_prior(flux):
+    prior = SmoothnessPrior(width=2)
+    value = float(prior(flux=flux))
+    assert np.isfinite(value)
+    # smoother images score higher
+    smooth_flux = jnp.ones_like(flux) * jnp.mean(flux)
+    value_smooth = float(prior(flux=smooth_flux))
+    # prior is -sum(flux * K*flux): constant image has larger overlap
+    assert np.isfinite(value_smooth)
+
+
+def test_image_prior(flux):
+    prior = ImagePrior(flux_prior=flux)
+    assert_allclose(float(prior(flux=flux)), 0.0)
+    assert float(prior(flux=flux + 1.0)) < 0.0
+
+
+def test_lira_prior(flux):
+    prior = LIRAPrior(alphas=[1.0, 2.0], cycle_spin=False)
+    value = float(prior(flux=flux))
+    assert np.isfinite(value)
+    # uniform proportions (constant image) maximise the symmetric
+    # Dirichlet log-density for alpha > 1
+    const = jnp.ones_like(flux)
+    assert float(prior(flux=const)) > value
+
+
+def test_priors_container(flux):
+    priors = Priors()
+    priors["a"] = UniformPrior()
+    priors["b"] = ExponentialPrior(alpha=1)
+    total = priors((flux, flux))
+    assert_allclose(float(total), float(priors["b"](flux=flux)), rtol=1e-6)
+
+
+class TestGMMPatchPrior:
+    @pytest.fixture
+    def gmm(self):
+        return GaussianMixtureModel.from_registry("builtin-8x8-v1")
+
+    def test_builtin_registry(self):
+        assert "builtin-8x8-v1" in GMM_REGISTRY
+        assert "zoran-weiss" in GMM_REGISTRY
+
+    def test_gmm_buffers(self, gmm):
+        assert gmm.patch_shape == (8, 8)
+        assert gmm.n_features == 64
+        assert gmm.means_precisions_cholesky.shape == (gmm.n_components, 64)
+        assert gmm.pixel_weights.shape == (64,)
+        assert_allclose(float(gmm.pixel_weights.sum()), 16.0, rtol=1e-4)
+
+    def test_log_prob_vs_numpy(self, gmm):
+        rs = np.random.RandomState(0)
+        x = rs.rand(20, 64).astype(np.float32) - 0.5
+        expected = gmm.estimate_log_prob_numpy(x)
+        result = np.asarray(gmm.estimate_log_prob(jnp.asarray(x)))
+        assert_allclose(result, expected, rtol=1e-3, atol=0.3)
+
+    def test_prior_call(self, gmm, flux):
+        prior = GMMPatchPrior(gmm=gmm, cycle_spin=False)
+        value = float(prior(flux=flux, key=jax.random.PRNGKey(0)))
+        assert np.isfinite(value)
+
+    def test_prior_deterministic_with_key(self, gmm, flux):
+        prior = GMMPatchPrior(gmm=gmm, cycle_spin=True)
+        key = jax.random.PRNGKey(42)
+        v1 = float(prior(flux=flux, key=key))
+        v2 = float(prior(flux=flux, key=key))
+        assert_allclose(v1, v2, rtol=1e-6)
+        v3 = float(prior(flux=flux, key=jax.random.PRNGKey(43)))
+        assert v1 != v3
+
+    def test_prior_norm_params_trainable(self, gmm, flux):
+        prior = GMMPatchPrior(gmm=gmm, norm=ASinhImageNorm(), cycle_spin=False)
+        params = prior.parameters()
+        assert set(params["norm"]) == {"alpha", "beta"}
+
+        def loss(p):
+            return prior(flux=flux, params=p, key=jax.random.PRNGKey(0))
+
+        grads = jax.grad(loss)(params)
+        assert np.isfinite(float(grads["norm"]["alpha"][0]))
+
+    def test_prior_gradient_flows_to_flux(self, gmm, flux):
+        prior = GMMPatchPrior(gmm=gmm, cycle_spin=False)
+
+        def loss(flux):
+            return prior(flux=flux, key=jax.random.PRNGKey(0))
+
+        grad = jax.grad(loss)(flux)
+        assert np.isfinite(np.asarray(grad)).all()
+        assert float(jnp.abs(grad).max()) > 0
+
+    def test_zero_flux_masking(self, gmm):
+        # patches containing the sentinel are excluded without NaNs
+        from jolideco_tpu.utils.norms import LogImageNorm
+
+        flux = jnp.ones((1, 1, 32, 32), jnp.float32)
+        flux = flux.at[:, :, :8, :8].set(0.0)  # log(0) -> -inf
+        prior = GMMPatchPrior(gmm=gmm, norm=LogImageNorm(), cycle_spin=False)
+        value = float(prior(flux=flux, key=jax.random.PRNGKey(0)))
+        assert np.isfinite(value)
+
+        grad = jax.grad(
+            lambda f: prior(flux=f, key=jax.random.PRNGKey(0))
+        )(flux)
+        assert np.isfinite(np.asarray(grad)[:, :, 16:, 16:]).all()
+
+    def test_jitter(self, gmm, flux):
+        prior = GMMPatchPrior(gmm=gmm, cycle_spin=False, jitter=True)
+        value = float(prior(flux=flux, key=jax.random.PRNGKey(0)))
+        assert np.isfinite(value)
+
+    def test_marginalize(self, gmm, flux):
+        prior_map = GMMPatchPrior(gmm=gmm, cycle_spin=False)
+        prior_marg = GMMPatchPrior(gmm=gmm, cycle_spin=False, marginalize=True)
+        v_map = float(prior_map(flux=flux, key=jax.random.PRNGKey(0)))
+        v_marg = float(prior_marg(flux=flux, key=jax.random.PRNGKey(0)))
+        # logsumexp >= max
+        assert v_marg >= v_map
+
+    def test_prior_image(self, gmm, flux):
+        prior = GMMPatchPrior(gmm=gmm, cycle_spin=False)
+        image = prior.prior_image(flux)
+        assert image.shape == (32, 32)
+        assert np.isfinite(image).all()
+
+
+def test_multiscale_prior(flux):
+    gmm = GaussianMixtureModel.from_registry("builtin-8x8-v1")
+    base = GMMPatchPrior(gmm=gmm, cycle_spin=False)
+    prior = MultiScalePrior(prior=base, n_levels=2, cycle_spin=False)
+    value = float(prior(flux=flux, key=jax.random.PRNGKey(0)))
+    assert np.isfinite(value)
+
+    params = prior.parameters()
+    assert "log_weights" in params
+
+    grads = jax.grad(
+        lambda p: prior(flux=flux, params=p, key=jax.random.PRNGKey(0))
+    )(params)
+    assert np.isfinite(np.asarray(grads["log_weights"])).all()
+
+
+@pytest.mark.parametrize(
+    "name", ["uniform", "inverse-gamma", "exponential", "smooth"]
+)
+def test_prior_serialization_roundtrip(name):
+    from jolideco_tpu.priors import Prior
+
+    cls = PRIOR_REGISTRY[name]
+    prior = cls()
+    data = prior.to_dict()
+    assert data["type"] == name
+
+    prior_new = Prior.from_dict(data)
+    assert isinstance(prior_new, cls)
+
+
+def test_gmm_patch_prior_serialization_roundtrip():
+    from jolideco_tpu.priors import Prior
+
+    gmm = GaussianMixtureModel.from_registry("builtin-8x8-v1")
+    prior = GMMPatchPrior(gmm=gmm, norm=ASinhImageNorm(alpha=0.5), stride=4)
+    data = prior.to_dict()
+    assert data["type"] == "gmm-patches"
+
+    prior_new = Prior.from_dict(data)
+    assert isinstance(prior_new, GMMPatchPrior)
+    assert prior_new.stride == 4
+    assert_allclose(prior_new.norm.alpha, 0.5)
+    assert prior_new.gmm.is_equal(prior.gmm)
+
+
+def test_gmm_reduce_topk():
+    gmm = GaussianMixtureModel.from_registry("builtin-8x8-v1")
+    reduced = gmm.reduce_to_topk(8)
+    assert reduced.n_components == 8
+    assert reduced.weights_numpy[0] == gmm.weights_numpy.max()
+
+
+def test_gmm_npz_roundtrip(tmp_path):
+    gmm = GaussianMixtureModel.from_registry("builtin-8x8-v1")
+    path = tmp_path / "gmm.npz"
+    gmm.write(path)
+    gmm_new = GaussianMixtureModel.read(path, format="npz")
+    assert gmm_new.is_equal(gmm)
+    assert gmm_new.meta.stride == gmm.meta.stride
