@@ -1,0 +1,429 @@
+"""Minimal pure-python FITS reader/writer.
+
+astropy is not a dependency of this package, so the FITS I/O layer
+(reference ``jolideco/utils/io/fits.py``) is backed by this
+self-contained implementation of the FITS subset jolideco files use:
+
+- primary + IMAGE extensions (2-D float32/float64 images),
+- BINTABLE extensions with logical/int/float/string columns,
+- standard 80-char header cards in 2880-byte blocks, big-endian data.
+
+Files written here are spec-conformant and readable by astropy/cfitsio;
+reading supports the same subset.
+"""
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+BLOCK = 2880
+CARD = 80
+
+__all__ = [
+    "Header",
+    "ImageHDU",
+    "BinTableHDU",
+    "write_hdulist",
+    "read_hdulist",
+]
+
+
+class Header(dict):
+    """Ordered FITS header keywords (a dict with FITS value rules)."""
+
+
+def _format_value(value):
+    if isinstance(value, (bool, np.bool_)):
+        return ("T" if value else "F").rjust(20)
+    if isinstance(value, (int, np.integer)):
+        return str(int(value)).rjust(20)
+    if isinstance(value, (float, np.floating)):
+        text = repr(float(value))
+        return text.rjust(20)
+    # string
+    text = str(value).replace("'", "''")
+    return f"'{text:<8s}'"
+
+
+def _format_card(key, value, comment=None):
+    card = f"{key.upper():<8s}= {_format_value(value)}"
+    if comment:
+        card += f" / {comment}"
+    return card[:CARD].ljust(CARD)
+
+
+def _parse_value(text):
+    text = text.strip()
+    if text.startswith("'"):
+        # string: strip quotes, unescape, rstrip padding
+        inner = text[1:]
+        end = inner.find("'")
+        while end != -1 and end + 1 < len(inner) and inner[end + 1] == "'":
+            end = inner.find("'", end + 2)
+        return inner[:end].replace("''", "'").rstrip()
+    if text == "T":
+        return True
+    if text == "F":
+        return False
+    try:
+        return int(text)
+    except ValueError:
+        pass
+    try:
+        return float(text)
+    except ValueError:
+        return text
+
+
+def _write_header(fh, cards):
+    raw = "".join(cards) + "END".ljust(CARD)
+    pad = (-len(raw)) % BLOCK
+    fh.write((raw + " " * pad).encode("ascii"))
+
+
+def _write_data(fh, raw):
+    fh.write(raw)
+    pad = (-len(raw)) % BLOCK
+    fh.write(b"\x00" * pad)
+
+
+def _read_header(fh):
+    cards = {}
+    order = []
+    while True:
+        block = fh.read(BLOCK)
+        if len(block) < BLOCK:
+            if not block:
+                return None
+            raise OSError("Truncated FITS header")
+        done = False
+        for i in range(0, BLOCK, CARD):
+            card = block[i : i + CARD].decode("ascii", errors="replace")
+            key = card[:8].strip()
+            if key == "END":
+                done = True
+                break
+            if not key or key in ("COMMENT", "HISTORY"):
+                continue
+            if card[8:10] != "= ":
+                continue
+            rest = card[10:]
+            # strip comment (outside strings)
+            if rest.lstrip().startswith("'"):
+                # find closing quote then comment
+                s = rest
+                idx = s.find("'")
+                j = idx + 1
+                while j < len(s):
+                    if s[j] == "'":
+                        if j + 1 < len(s) and s[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                value_text = s[: j + 1]
+            else:
+                value_text = rest.split("/")[0]
+            cards[key] = _parse_value(value_text)
+            order.append(key)
+        if done:
+            break
+    header = Header()
+    for key in order:
+        header[key] = cards[key]
+    return header
+
+
+_BITPIX = {
+    np.dtype(">u1"): 8,
+    np.dtype(">i2"): 16,
+    np.dtype(">i4"): 32,
+    np.dtype(">i8"): 64,
+    np.dtype(">f4"): -32,
+    np.dtype(">f8"): -64,
+}
+_BITPIX_INV = {v: k for k, v in _BITPIX.items()}
+
+
+class ImageHDU:
+    """Image HDU (also used for the primary HDU)."""
+
+    def __init__(self, data=None, header=None, name=""):
+        self.data = None if data is None else np.asarray(data)
+        self.header = Header(header or {})
+        self.name = str(name).upper()
+
+    def _cards(self, primary):
+        cards = []
+        data = self.data
+        if primary:
+            cards.append(_format_card("SIMPLE", True, "conforms to FITS"))
+        else:
+            cards.append(_format_card("XTENSION", "IMAGE", "Image extension"))
+
+        if data is None:
+            cards.append(_format_card("BITPIX", 8))
+            cards.append(_format_card("NAXIS", 0))
+        else:
+            be = data.astype(data.dtype.newbyteorder(">"))
+            bitpix = _BITPIX[be.dtype]
+            cards.append(_format_card("BITPIX", bitpix))
+            cards.append(_format_card("NAXIS", data.ndim))
+            for i, n in enumerate(reversed(data.shape)):
+                cards.append(_format_card(f"NAXIS{i + 1}", n))
+        if not primary:
+            cards.append(_format_card("PCOUNT", 0))
+            cards.append(_format_card("GCOUNT", 1))
+        if self.name:
+            cards.append(_format_card("EXTNAME", self.name))
+        for key, value in self.header.items():
+            cards.append(_format_card(key, value))
+        return cards
+
+    def _raw_data(self):
+        if self.data is None:
+            return b""
+        be = self.data.astype(self.data.dtype.newbyteorder(">"))
+        return be.tobytes()
+
+
+_TFORM_DTYPES = [
+    (np.dtype(np.bool_), "L"),
+    (np.dtype(np.int16), "I"),
+    (np.dtype(np.int32), "J"),
+    (np.dtype(np.int64), "K"),
+    (np.dtype(np.float32), "E"),
+    (np.dtype(np.float64), "D"),
+]
+
+
+def _column_tform(array):
+    if array.dtype.kind in "US":
+        width = max(1, array.dtype.itemsize // (4 if array.dtype.kind == "U" else 1))
+        return f"{width}A", np.dtype(f"S{width}")
+    for dtype, code in _TFORM_DTYPES:
+        if array.dtype == dtype:
+            return code, dtype.newbyteorder(">")
+    # fall back: floats
+    return "D", np.dtype(">f8")
+
+
+_TFORM_SIZES = {"L": 1, "I": 2, "J": 4, "K": 8, "E": 4, "D": 8}
+
+
+class BinTableHDU:
+    """Binary-table HDU built from a dict of 1-D column arrays."""
+
+    def __init__(self, columns=None, header=None, name=""):
+        self.columns = {
+            key: np.asarray(value) for key, value in (columns or {}).items()
+        }
+        self.header = Header(header or {})
+        self.name = str(name).upper()
+
+    @classmethod
+    def from_rows(cls, rows, name=""):
+        """Build from a list of row dicts."""
+        if not rows:
+            return cls(name=name)
+        keys = list(rows[0].keys())
+        columns = {key: np.asarray([row[key] for row in rows]) for key in keys}
+        return cls(columns=columns, name=name)
+
+    def _layout(self):
+        layout = []
+        for key, array in self.columns.items():
+            tform, dtype = _column_tform(array)
+            layout.append((key, tform, dtype))
+        return layout
+
+    def _cards(self):
+        layout = self._layout()
+        n_rows = len(next(iter(self.columns.values()))) if self.columns else 0
+        row_bytes = sum(
+            int(tform[:-1]) if tform.endswith("A") else _TFORM_SIZES[tform]
+            for _, tform, _ in layout
+        )
+        cards = [
+            _format_card("XTENSION", "BINTABLE", "binary table extension"),
+            _format_card("BITPIX", 8),
+            _format_card("NAXIS", 2),
+            _format_card("NAXIS1", row_bytes),
+            _format_card("NAXIS2", n_rows),
+            _format_card("PCOUNT", 0),
+            _format_card("GCOUNT", 1),
+            _format_card("TFIELDS", len(layout)),
+        ]
+        for i, (key, tform, _) in enumerate(layout, start=1):
+            cards.append(_format_card(f"TTYPE{i}", key))
+            cards.append(_format_card(f"TFORM{i}", tform))
+        if self.name:
+            cards.append(_format_card("EXTNAME", self.name))
+        for key, value in self.header.items():
+            cards.append(_format_card(key, value))
+        return cards
+
+    def _raw_data(self):
+        layout = self._layout()
+        if not layout:
+            return b""
+        n_rows = len(next(iter(self.columns.values())))
+        fields = []
+        for key, tform, dtype in layout:
+            array = self.columns[key]
+            if tform.endswith("A"):
+                width = int(tform[:-1])
+                converted = np.array(
+                    [str(v).encode("ascii", "replace") for v in array],
+                    dtype=f"S{width}",
+                )
+                fields.append((key, converted, np.dtype(f"S{width}")))
+            elif tform == "L":
+                # FITS logical columns store ASCII 'T'/'F'
+                converted = np.where(
+                    array.astype(bool), np.uint8(ord("T")), np.uint8(ord("F"))
+                )
+                fields.append((key, converted, np.dtype(">u1")))
+            else:
+                fields.append((key, array.astype(dtype), dtype))
+        rec_dtype = np.dtype([(key, dtype) for key, _, dtype in fields])
+        rec = np.zeros(n_rows, rec_dtype)
+        for key, converted, _ in fields:
+            rec[key] = converted
+        return rec.tobytes()
+
+
+def write_hdulist(hdus, filename, overwrite=False):
+    """Write a list of HDUs to a FITS file (first becomes primary)."""
+    path = Path(filename)
+    if path.exists() and not overwrite:
+        raise OSError(f"{path} already exists!")
+
+    with path.open("wb") as fh:
+        if hdus and isinstance(hdus[0], ImageHDU):
+            _write_header(fh, hdus[0]._cards(primary=True))
+            _write_data(fh, hdus[0]._raw_data())
+            rest = hdus[1:]
+        else:
+            # tables can never be primary: write an empty primary first
+            primary = ImageHDU()
+            _write_header(fh, primary._cards(primary=True))
+            rest = hdus
+
+        for hdu in rest:
+            if isinstance(hdu, BinTableHDU):
+                _write_header(fh, hdu._cards())
+            else:
+                _write_header(fh, hdu._cards(primary=False))
+            _write_data(fh, hdu._raw_data())
+
+
+def _read_image_data(fh, header):
+    bitpix = header.get("BITPIX", 8)
+    naxis = header.get("NAXIS", 0)
+    if naxis == 0:
+        return None
+    shape = tuple(
+        header[f"NAXIS{i}"] for i in range(naxis, 0, -1)
+    )
+    dtype = _BITPIX_INV[bitpix]
+    count = int(np.prod(shape))
+    nbytes = count * dtype.itemsize
+    raw = fh.read(nbytes)
+    fh.read((-nbytes) % BLOCK)
+    return np.frombuffer(raw, dtype=dtype).reshape(shape).astype(
+        dtype.newbyteorder("=")
+    )
+
+
+def _read_table_data(fh, header):
+    n_rows = header["NAXIS2"]
+    n_fields = header["TFIELDS"]
+    names, dtypes = [], []
+    for i in range(1, n_fields + 1):
+        name = header[f"TTYPE{i}"]
+        tform = str(header[f"TFORM{i}"]).strip()
+        if tform.endswith("A"):
+            width = int(tform[:-1] or 1)
+            dtype = np.dtype(f"S{width}")
+        else:
+            code = tform[-1]
+            repeat = tform[:-1]
+            if repeat not in ("", "1"):
+                raise OSError(f"Unsupported TFORM {tform}")
+            dtype = {
+                "L": np.dtype(">u1"),
+                "I": np.dtype(">i2"),
+                "J": np.dtype(">i4"),
+                "K": np.dtype(">i8"),
+                "E": np.dtype(">f4"),
+                "D": np.dtype(">f8"),
+            }[code]
+        names.append(name)
+        dtypes.append(dtype)
+
+    rec_dtype = np.dtype(list(zip(names, dtypes)))
+    nbytes = rec_dtype.itemsize * n_rows
+    raw = fh.read(nbytes)
+    fh.read((-nbytes) % BLOCK)
+    rec = np.frombuffer(raw, dtype=rec_dtype)
+
+    columns = {}
+    for name, dtype in zip(names, dtypes):
+        col = rec[name]
+        if dtype.kind == "S":
+            columns[name] = np.array(
+                [v.decode("ascii").rstrip() for v in col]
+            )
+        elif dtype.itemsize == 1 and dtype.kind == "u":  # logical
+            columns[name] = col == ord("T")
+        else:
+            columns[name] = col.astype(dtype.newbyteorder("="))
+    return columns
+
+
+def read_hdulist(filename):
+    """Read all HDUs of a FITS file.
+
+    Returns
+    -------
+    hdus : list of `ImageHDU` / `BinTableHDU`
+    """
+    hdus = []
+    with Path(filename).open("rb") as fh:
+        while True:
+            header = _read_header(fh)
+            if header is None:
+                break
+            name = str(header.pop("EXTNAME", "")).strip()
+            xtension = str(header.pop("XTENSION", "")).strip()
+            header.pop("SIMPLE", None)
+            if xtension == "BINTABLE":
+                columns = _read_table_data(fh, header)
+                meta = Header(
+                    {
+                        k: v
+                        for k, v in header.items()
+                        if not (
+                            k.startswith(("NAXIS", "TTYPE", "TFORM"))
+                            or k in ("BITPIX", "PCOUNT", "GCOUNT", "TFIELDS")
+                        )
+                    }
+                )
+                hdu = BinTableHDU(columns=columns, header=meta, name=name)
+            else:
+                data = _read_image_data(fh, header)
+                meta = Header(
+                    {
+                        k: v
+                        for k, v in header.items()
+                        if not k.startswith(("NAXIS",))
+                        and k not in ("BITPIX", "PCOUNT", "GCOUNT", "EXTEND")
+                    }
+                )
+                hdu = ImageHDU(data=data, header=meta, name=name)
+            hdus.append(hdu)
+    return hdus
