@@ -1,0 +1,156 @@
+"""Benchmark: the BASELINE.json north-star configuration.
+
+Joint 10-observation 1024x1024 MAP deconvolution, 1000 Adam iterations
+with the GMM patch prior (K=200 components, 8x8 patches, stride 4 —
+the shape of the reference's zoran-weiss library), on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+``vs_baseline`` is the speed-up factor against the 60 s target from
+BASELINE.json (>1 means faster than target).
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+
+def make_bench_gmm(k=200, patch=8, stride=4, seed=0):
+    """Random-but-valid GMM with the zoran-weiss shape (K=200, d=64)."""
+    from jolideco_tpu.priors.patches.gmm import (
+        GaussianMixtureModel,
+        GaussianMixtureModelMeta,
+    )
+
+    rng = np.random.RandomState(seed)
+    d = patch * patch
+    means = 0.1 * rng.randn(k, d)
+    # random SPD covariances with decaying spectrum (EPLL-like)
+    covariances = np.empty((k, d, d))
+    base = rng.randn(8 * d, d) / np.sqrt(8 * d)
+    spectrum = np.exp(-np.linspace(0, 6, d))
+    for i in range(k):
+        q, _ = np.linalg.qr(rng.randn(d, d))
+        covariances[i] = (q * (spectrum * (1 + 0.1 * rng.rand(d)))) @ q.T
+        covariances[i] += 1e-6 * np.eye(d)
+    weights = rng.dirichlet(np.ones(k))
+    meta = GaussianMixtureModelMeta(stride=stride)
+    return GaussianMixtureModel.from_numpy(
+        means=means, covariances=covariances, weights=weights, meta=meta
+    )
+
+
+def make_datasets(n_obs=10, size=1024, psf_size=33, seed=0):
+    """Synthetic joint-observation datasets at benchmark scale."""
+    from jolideco_tpu.utils.kernels import gaussian_kernel_2d
+
+    rng = np.random.RandomState(seed)
+    datasets = {}
+    yy, xx = np.mgrid[0:size, 0:size]
+    flux = np.zeros((size, size), np.float32)
+    for _ in range(200):
+        x0, y0 = rng.randint(0, size, 2)
+        flux[y0, x0] += rng.gamma(2.0) * 50
+    flux += 10 * np.exp(
+        -((xx - size / 2) ** 2 + (yy - size / 2) ** 2) / (2 * (size / 8) ** 2)
+    ).astype(np.float32)
+
+    for i in range(n_obs):
+        sigma = 2.0 + 0.3 * i
+        psf = gaussian_kernel_2d(
+            sigma, x_size=psf_size, y_size=psf_size
+        ).astype(np.float32)
+        exposure = (1.0 + 0.1 * i) * np.ones((size, size), np.float32)
+        background = 2.0 * np.ones((size, size), np.float32)
+        lam = background + 0.05 * flux * exposure
+        counts = rng.poisson(lam).astype(np.float32)
+        datasets[f"obs-{i}"] = {
+            "counts": counts,
+            "psf": psf,
+            "exposure": exposure,
+            "background": background,
+        }
+    return datasets
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n-obs", type=int, default=10)
+    parser.add_argument("--size", type=int, default=1024)
+    parser.add_argument("--iters", type=int, default=1000)
+    parser.add_argument("--gmm-k", type=int, default=200)
+    parser.add_argument("--stride", type=int, default=4)
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    from jolideco_tpu import FluxComponents, MAPDeconvolver, SpatialFluxComponent
+    from jolideco_tpu.priors import GMMPatchPrior
+
+    if args.verbose:
+        print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    datasets = make_datasets(n_obs=args.n_obs, size=args.size)
+    gmm = make_bench_gmm(k=args.gmm_k, stride=args.stride)
+
+    flux_init = np.ones((args.size, args.size), np.float32)
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=flux_init,
+        prior=GMMPatchPrior(gmm=gmm, cycle_spin=True),
+    )
+
+    deco = MAPDeconvolver(
+        n_epochs=args.iters,
+        learning_rate=0.1,
+        display_progress=False,
+        update_strategy="joint",
+        scan_epochs=True,
+        trace_every=0,
+        seed=0,
+    )
+
+    # compile warm-up: one-epoch run with identical shapes
+    warmup = MAPDeconvolver(
+        n_epochs=1, learning_rate=0.1, display_progress=False,
+        update_strategy="joint", scan_epochs=True, trace_every=0, seed=0,
+    )
+    import copy
+
+    t0 = time.time()
+    warmup.run(datasets=datasets, components=copy.deepcopy(components))
+    compile_time = time.time() - t0
+    if args.verbose:
+        print(f"warm-up (compile + 1 iter): {compile_time:.1f}s",
+              file=sys.stderr)
+
+    t0 = time.time()
+    result = deco.run(datasets=datasets, components=components)
+    # block on the final flux
+    np.asarray(result.components["flux"].flux_upsampled_numpy)
+    elapsed = time.time() - t0
+
+    iters_per_sec = args.iters / elapsed
+    target_seconds = 60.0
+    out = {
+        "metric": (
+            f"Adam MAP iters/sec, joint {args.n_obs}-obs {args.size}^2, "
+            f"GMM patch prior K={args.gmm_k} stride {args.stride}"
+        ),
+        "value": round(iters_per_sec, 3),
+        "unit": "iters/sec",
+        "vs_baseline": round(target_seconds / elapsed, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

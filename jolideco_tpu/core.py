@@ -122,6 +122,7 @@ class MAPDeconvolver:
         trace_every=1,
         seed=0,
         device=None,
+        mesh=None,
     ):
         self.n_epochs = int(n_epochs)
         self.beta = float(beta)
@@ -132,6 +133,7 @@ class MAPDeconvolver:
         self.display_progress = bool(display_progress)
         self.seed = int(seed)
         self.device = device
+        self.mesh = mesh
 
         if optimizer_type not in OPTIMIZER:
             raise ValueError(
@@ -183,6 +185,56 @@ class MAPDeconvolver:
         return format_class_str(instance=self)
 
     # ------------------------------------------------------------------
+    def _build_total_loss(self, datasets, datasets_validation, components,
+                          calibrations):
+        """Build the total loss; the joint strategy stacks observations.
+
+        Joint updates with homogeneous datasets use the vmapped
+        `StackedPoissonLoss` (one batched forward, sharding-ready over
+        the ``obs`` axis); anything else falls back to per-dataset
+        models.
+        """
+        if self.update_strategy == "joint":
+            from .loss import PriorLoss
+            from .parallel.stacked import StackedPoissonLoss
+
+            try:
+                poisson = StackedPoissonLoss.from_datasets(
+                    datasets=datasets, components=components,
+                    calibrations=calibrations,
+                )
+                poisson_validation = None
+                if datasets_validation:
+                    poisson_validation = StackedPoissonLoss.from_datasets(
+                        datasets=datasets_validation, components=components,
+                        calibrations=calibrations,
+                    )
+                if self.mesh is not None:
+                    poisson = poisson.shard(self.mesh)
+                    if poisson_validation is not None:
+                        poisson_validation = poisson_validation.shard(
+                            self.mesh
+                        )
+                return TotalLoss(
+                    poisson_loss=poisson,
+                    prior_loss=PriorLoss(priors=components.priors),
+                    poisson_loss_validation=poisson_validation,
+                    beta=self.beta,
+                )
+            except ValueError as exc:
+                log.warning(
+                    f"Cannot stack observations ({exc}); falling back to "
+                    "per-dataset forward models"
+                )
+
+        return TotalLoss.from_datasets_and_components(
+            datasets=datasets,
+            datasets_validation=datasets_validation,
+            components=components,
+            calibrations=calibrations,
+            beta=self.beta,
+        )
+
     def _make_optimizer(self):
         return OPTIMIZER[self.optimizer_type](**self.optimizer_kwargs)
 
@@ -208,6 +260,10 @@ class MAPDeconvolver:
             return loss - beta * loss_prior / n_datasets
 
         def loss_joint(params, components, total_loss, key):
+            # One step on the weighted sum of all dataset losses; the
+            # prior enters once per step (the sequential strategy
+            # applies beta/n_datasets at each of its n per-dataset
+            # steps, so the per-epoch prior weight matches).
             fluxes = components.fluxes_from(params.get("components"))
             losses = total_loss.poisson_loss.evaluate(
                 fluxes, params.get("calibrations")
@@ -215,7 +271,8 @@ class MAPDeconvolver:
             loss_prior = total_loss.prior_loss(
                 fluxes, params=params.get("components"), key=key
             )
-            return jnp.sum(losses) - beta * loss_prior
+            weights = total_loss.poisson_loss.weights
+            return jnp.sum(losses * weights) - beta * loss_prior
 
         def epoch_fn(components, total_loss, params, opt_state, key):
             if sequential:
@@ -336,12 +393,8 @@ class MAPDeconvolver:
         components_init = copy.deepcopy(components)
         calibrations_init = copy.deepcopy(calibrations)
 
-        total_loss = TotalLoss.from_datasets_and_components(
-            datasets=datasets,
-            datasets_validation=datasets_validation,
-            components=components,
-            calibrations=calibrations,
-            beta=self.beta,
+        total_loss = self._build_total_loss(
+            datasets, datasets_validation, components, calibrations
         )
 
         params = {"components": components.parameters()}

@@ -1,0 +1,10 @@
+"""Multi-chip scaling (SURVEY.md §2: the DP-equivalent).
+
+The reference iterates datasets sequentially on one device; here
+observations stack on a leading axis, the per-observation NPred + NLL
+evaluation is vmapped, and the stacked arrays are sharded over an
+``obs`` mesh axis — XLA/GSPMD inserts the gradient ``psum`` over ICI.
+"""
+
+from .mesh import make_obs_mesh, shard_stacked  # noqa: F401
+from .stacked import StackedPoissonLoss  # noqa: F401
