@@ -1,0 +1,225 @@
+"""Pallas TPU kernel for GMM patch scoring (MAP reduction).
+
+The streaming XLA scan in ``ops.gmm_score`` issues K separate
+``(N, d) @ (d, d)`` matmuls — each underutilises the 128x128 MXU
+(d = 64 contraction *and* 64 output lanes). This kernel restructures
+the computation flash-attention-style:
+
+- all K precision-Cholesky factors are packed host-side into one
+  ``(d, K_pad * d)`` matrix ``B`` resident in VMEM (K=200, d=64 ->
+  3.3 MB);
+- a patch tile ``(TILE_N, d)`` is multiplied against 512-column blocks
+  of ``B`` (full MXU lane width), whitened residuals are squared,
+  pixel-weighted, and segment-reduced to per-component quadratic forms
+  by a second matmul against a 0/1 segment matrix (also MXU), with a
+  running max/argmax over components kept in registers;
+- the ``(N, K)`` logit matrix never exists — only the ``(N,)`` running
+  max and argmax flow back to HBM.
+
+The backward pass exploits MAP semantics: gradients flow only through
+each patch's argmax component, so it is a cheap gather + batched
+matmul (``~1/K`` of the forward cost) in plain XLA.
+
+Correctness is pinned against ``ops.gmm_score`` in interpret mode on
+CPU; the marginalise (logsumexp) path stays on the XLA scan.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gmm_score import LOG_2PI
+
+__all__ = [
+    "gmm_score_pallas",
+    "pack_gmm_buffers",
+    "pallas_supported",
+    "TILE_N",
+    "KB",
+]
+
+TILE_N = 256
+KB = 8  # components per inner block; KB * d = 512 lanes per matmul
+
+
+def pallas_supported(n_features, n_components):
+    """Whether the kernel supports this GMM shape."""
+    return n_features == 64 and n_components >= 1
+
+
+def pack_gmm_buffers(means_prec, prec_chol, log_det, log_weights,
+                     pixel_weights):
+    """Pack GMM buffers into the kernel's dense layout (host-side numpy).
+
+    Returns a dict of arrays; padded components carry ``-inf`` const so
+    they never win the max.
+    """
+    prec_chol = np.asarray(prec_chol)
+    means_prec = np.asarray(means_prec)
+    k, d, _ = prec_chol.shape
+    k_pad = -(-k // KB) * KB
+    n_blocks = k_pad // KB
+
+    b = np.zeros((d, k_pad * d), np.float32)
+    mp = np.zeros((1, k_pad * d), np.float32)
+    for i in range(k):
+        b[:, i * d : (i + 1) * d] = prec_chol[i]
+        mp[0, i * d : (i + 1) * d] = means_prec[i]
+
+    w = np.tile(np.asarray(pixel_weights, np.float32).reshape(d), k_pad)[None]
+
+    const = np.full((n_blocks, KB), -np.inf, np.float32)
+    const.reshape(-1)[:k] = (
+        -0.5 * d * LOG_2PI
+        + np.asarray(log_det, np.float32)
+        + np.asarray(log_weights, np.float32)
+    )
+
+    segment = np.zeros((KB * d, KB), np.float32)
+    for c in range(KB):
+        segment[c * d : (c + 1) * d, c] = 1.0
+
+    return {
+        "b_packed": jnp.asarray(b),
+        "mp_row": jnp.asarray(mp),
+        "w_row": jnp.asarray(w),
+        "const": jnp.asarray(const),
+        "segment": jnp.asarray(segment),
+    }
+
+
+def _score_kernel(x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
+                  values_ref, argmax_ref):
+    d = x_ref.shape[1]
+    block = KB * d
+    n_blocks = b_ref.shape[1] // block
+
+    x = x_ref[:]  # (TILE_N, d)
+
+    def body(kb, carry):
+        best, best_idx = carry
+        col0 = pl.multiple_of(kb * block, block)
+        b_block = b_ref[:, pl.ds(col0, block)]          # (d, KB*d)
+        y = jnp.dot(x, b_block, preferred_element_type=jnp.float32)
+        z = jnp.square(y - mp_ref[:, pl.ds(col0, block)])
+        z = z * w_ref[:, pl.ds(col0, block)]
+        # segment-reduce KB*d lanes -> KB per-component sums via MXU
+        q = jnp.dot(z, seg_ref[:], preferred_element_type=jnp.float32)
+        logits = -0.5 * q + const_ref[pl.ds(kb, 1), :]  # (TILE_N, KB)
+
+        block_best = jnp.max(logits, axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        block_arg = jnp.min(
+            jnp.where(logits >= block_best, lane, KB), axis=1, keepdims=True
+        )
+        take = block_best > best
+        best = jnp.where(take, block_best, best)
+        best_idx = jnp.where(take, kb * KB + block_arg, best_idx)
+        return best, best_idx
+
+    init = (
+        jnp.full((x.shape[0], 1), -jnp.inf, jnp.float32),
+        jnp.zeros((x.shape[0], 1), jnp.int32),
+    )
+    best, best_idx = jax.lax.fori_loop(0, n_blocks, body, init)
+    values_ref[:] = best
+    argmax_ref[:] = best_idx
+
+
+def _score_forward_pallas(patches, packed, interpret=False):
+    n, d = patches.shape
+    n_pad = -(-n // TILE_N) * TILE_N
+    if n_pad != n:
+        patches = jnp.pad(patches, ((0, n_pad - n), (0, 0)))
+
+    b_packed = packed["b_packed"]
+    mp_row = packed["mp_row"]
+    w_row = packed["w_row"]
+    const = packed["const"]
+    segment = packed["segment"]
+
+    grid = (n_pad // TILE_N,)
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    values, argmax = pl.pallas_call(
+        _score_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full(b_packed.shape),
+            full(mp_row.shape),
+            full(w_row.shape),
+            full(const.shape),
+            full(segment.shape),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(patches, b_packed, mp_row, w_row, const, segment)
+
+    return values[:n, 0], argmax[:n, 0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gmm_score_pallas(patches, packed, means_prec, prec_chol, pixel_weights,
+                     interpret=False):
+    """MAP GMM score via the Pallas kernel.
+
+    Same contract as ``gmm_score(..., marginalize=False)``: returns
+    ``(values (N,), argmax (N,))``. ``packed`` comes from
+    :func:`pack_gmm_buffers` (precompute once per GMM).
+    """
+    return _score_forward_pallas(patches, packed, interpret=interpret)
+
+
+def _fwd(patches, packed, means_prec, prec_chol, pixel_weights, interpret):
+    values, argmax = _score_forward_pallas(
+        patches, packed, interpret=interpret
+    )
+    residuals = (patches, packed, means_prec, prec_chol, pixel_weights,
+                 argmax)
+    return (values, argmax), residuals
+
+
+def _bwd(interpret, residuals, cotangents):
+    patches, packed, means_prec, prec_chol, pixel_weights, argmax = residuals
+    g_values, _ = cotangents
+
+    prec_g = jnp.take(prec_chol, argmax, axis=0)     # (N, d, d)
+    mp_g = jnp.take(means_prec, argmax, axis=0)      # (N, d)
+    y = jnp.einsum(
+        "nd,ndj->nj", patches, prec_g, precision=lax.Precision.HIGHEST
+    ) - mp_g
+    wy = y * pixel_weights
+    dx = -jnp.einsum(
+        "nj,ndj->nd", wy, prec_g, precision=lax.Precision.HIGHEST
+    )
+    dx = dx * g_values[:, None]
+
+    return (
+        dx,
+        jax.tree_util.tree_map(jnp.zeros_like, packed),
+        jnp.zeros_like(means_prec),
+        jnp.zeros_like(prec_chol),
+        jnp.zeros_like(pixel_weights),
+    )
+
+
+gmm_score_pallas.defvjp(_fwd, _bwd)

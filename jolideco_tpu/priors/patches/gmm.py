@@ -91,6 +91,20 @@ class GaussianMixtureModel:
             self._pixel_weights_numpy(), jnp.float32
         ).reshape(-1)
 
+        # packed buffers for the Pallas scoring kernel (host-side once)
+        from ...ops.gmm_pallas import pack_gmm_buffers, pallas_supported
+
+        if pallas_supported(self.n_features, self.n_components):
+            self.packed = pack_gmm_buffers(
+                np.asarray(self.means_precisions_cholesky),
+                prec64,
+                np.asarray(self.log_det_cholesky),
+                np.asarray(self.log_weights),
+                np.asarray(self.pixel_weights),
+            )
+        else:
+            self.packed = None
+
     def _pixel_weights_numpy(self):
         if self.meta.stride is None:
             return np.ones(self.patch_shape)
@@ -160,7 +174,24 @@ class GaussianMixtureModel:
         """Streaming reduced score: ``(values (N,), argmax (N,))``.
 
         The training-loop path — never materialises ``(N, K)``.
+        Dispatches to the Pallas TPU kernel for the MAP (max) reduction
+        when enabled (``jolideco_tpu.config``); logsumexp marginalise
+        and unsupported shapes use the XLA scan.
         """
+        from ...config import pallas_mode
+
+        enabled, interpret = pallas_mode()
+        if enabled and not marginalize and self.packed is not None:
+            from ...ops.gmm_pallas import gmm_score_pallas
+
+            return gmm_score_pallas(
+                x,
+                self.packed,
+                self.means_precisions_cholesky,
+                self.precisions_cholesky,
+                self.pixel_weights,
+                interpret,
+            )
         return gmm_score(x, *self._score_arrays(), marginalize=marginalize)
 
     def estimate_log_prob_numpy(self, x):
@@ -432,6 +463,7 @@ register_pytree(
         "log_det_cholesky",
         "log_weights",
         "pixel_weights",
+        "packed",
     ),
     aux_attrs=("meta",),
 )

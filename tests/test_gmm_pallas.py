@@ -1,0 +1,122 @@
+"""Pallas GMM kernel correctness vs the XLA scan (interpret mode)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+import jax.numpy as jnp
+
+from jolideco_tpu.ops.gmm_pallas import (
+    gmm_score_pallas,
+    pack_gmm_buffers,
+    pallas_supported,
+)
+from jolideco_tpu.priors import GaussianMixtureModel
+
+
+@pytest.fixture(scope="module")
+def gmm():
+    return GaussianMixtureModel.from_registry("builtin-8x8-v1")
+
+
+@pytest.fixture(scope="module")
+def patches(gmm):
+    rs = np.random.RandomState(0)
+    x = rs.rand(500, 64).astype(np.float32) - 0.5
+    x -= x.mean(axis=1, keepdims=True)
+    return jnp.asarray(x)
+
+
+def _pallas_args(gmm):
+    return (
+        gmm.packed,
+        gmm.means_precisions_cholesky,
+        gmm.precisions_cholesky,
+        gmm.pixel_weights,
+    )
+
+
+def test_supported(gmm):
+    assert pallas_supported(gmm.n_features, gmm.n_components)
+    assert gmm.packed is not None
+
+
+def test_forward_matches_scan(gmm, patches):
+    values_ref, argmax_ref = gmm.score(patches)  # XLA scan on CPU (auto)
+    values, argmax = gmm_score_pallas(
+        patches, *_pallas_args(gmm), True
+    )
+    assert_allclose(np.asarray(values), np.asarray(values_ref), rtol=1e-4,
+                    atol=1e-4)
+    assert (np.asarray(argmax) == np.asarray(argmax_ref)).all()
+
+
+def test_forward_padded_k(patches):
+    """K not a multiple of the component block size."""
+    rs = np.random.RandomState(1)
+    k, d = 13, 64
+    from sklearn.datasets import make_spd_matrix
+
+    means = rs.rand(k, d)
+    covariances = np.stack(
+        [make_spd_matrix(d, random_state=i) for i in range(k)]
+    )
+    weights = rs.dirichlet(np.ones(k))
+    gmm = GaussianMixtureModel.from_numpy(
+        means=means, covariances=covariances, weights=weights
+    )
+
+    values_ref, argmax_ref = gmm.score(patches)
+    values, argmax = gmm_score_pallas(
+        patches, *_pallas_args(gmm), True
+    )
+    assert_allclose(np.asarray(values), np.asarray(values_ref), rtol=1e-4,
+                    atol=1e-4)
+    assert (np.asarray(argmax) == np.asarray(argmax_ref)).all()
+
+
+def test_forward_ragged_n(gmm):
+    """N not a multiple of the tile size (padding path)."""
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.rand(77, 64).astype(np.float32) - 0.5)
+    values_ref, _ = gmm.score(x)
+    values, _ = gmm_score_pallas(x, *_pallas_args(gmm), True)
+    assert values.shape == (77,)
+    assert_allclose(np.asarray(values), np.asarray(values_ref), rtol=1e-4,
+                    atol=1e-4)
+
+
+def test_gradient_matches_scan(gmm, patches):
+    def loss_pallas(x):
+        values, _ = gmm_score_pallas(x, *_pallas_args(gmm), True)
+        return jnp.sum(values)
+
+    def loss_scan(x):
+        values, _ = gmm.score(x)
+        return jnp.sum(values)
+
+    g_pallas = jax.grad(loss_pallas)(patches)
+    g_scan = jax.grad(loss_scan)(patches)
+    assert_allclose(np.asarray(g_pallas), np.asarray(g_scan), rtol=1e-3,
+                    atol=1e-4)
+
+
+def test_pack_layout(gmm):
+    packed = pack_gmm_buffers(
+        np.asarray(gmm.means_precisions_cholesky),
+        np.asarray(gmm.precisions_cholesky),
+        np.asarray(gmm.log_det_cholesky),
+        np.asarray(gmm.log_weights),
+        np.asarray(gmm.pixel_weights),
+    )
+    k, d = gmm.n_components, gmm.n_features
+    k_pad = -(-k // 8) * 8
+    assert packed["b_packed"].shape == (d, k_pad * d)
+    assert packed["const"].shape == (k_pad // 8, 8)
+    # first component block round-trips
+    assert_allclose(
+        np.asarray(packed["b_packed"][:, :d]),
+        np.asarray(gmm.precisions_cholesky[0]),
+        rtol=1e-6,
+    )
