@@ -1,0 +1,105 @@
+"""Command line interface (reference ``jolideco/cli.py``).
+
+The reference's ``test`` subcommand imports a nonexistent
+``jolideco.test`` function (reference ``cli.py:54-58``); here it
+actually runs the test suite via pytest.
+"""
+
+import logging
+import warnings
+
+import click
+
+from jolideco_tpu import __version__
+
+
+def print_version(ctx, param, value):
+    """Eager ``--version`` callback."""
+    if not value or ctx.resilient_parsing:
+        return
+    print(f"Jolideco-TPU version {__version__}")
+    ctx.exit()
+
+
+CONTEXT_SETTINGS = dict(help_option_names=["-h", "--help"])
+
+
+@click.group("jolideco-tpu", context_settings=CONTEXT_SETTINGS)
+@click.option(
+    "--log-level",
+    default="info",
+    help="Logging verbosity level.",
+    type=click.Choice(["debug", "info", "warning", "error"]),
+)
+@click.option("--ignore-warnings", is_flag=True, help="Ignore warnings?")
+@click.option(
+    "--version",
+    is_flag=True,
+    callback=print_version,
+    expose_value=False,
+    is_eager=True,
+    help="Print version and exit.",
+)
+def cli(log_level, ignore_warnings):
+    """Jolideco-TPU command line interface (CLI).
+
+    TPU-native joint likelihood deconvolution of low-count data. Use
+    ``--help`` on sub-commands for arguments and options.
+    """
+    logging.basicConfig(level=log_level.upper())
+    if ignore_warnings:
+        warnings.simplefilter("ignore")
+
+
+@cli.command("test")
+@click.option("--args", "pytest_args", default="", help="Extra pytest args")
+def test(pytest_args):
+    """Run the package test suite."""
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    repo_root = Path(__file__).parent.parent
+    code = pytest.main(
+        [str(repo_root / "tests"), "-q", *pytest_args.split()]
+    )
+    sys.exit(code)
+
+
+@cli.command("run")
+@click.argument("config", type=click.Path(exists=True))
+@click.option("--output", default="result.fits", help="Output result file")
+@click.option("--overwrite", is_flag=True)
+def run(config, output, overwrite):
+    """Run a MAP deconvolution from a YAML run configuration.
+
+    The config lists datasets (npz/FITS file paths with counts, psf,
+    exposure, background arrays), component definitions and deconvolver
+    settings — a CLI surface the reference does not offer.
+    """
+    import numpy as np
+
+    from jolideco_tpu import FluxComponents, MAPDeconvolver
+    from jolideco_tpu.models import SpatialFluxComponent
+    from jolideco_tpu.utils.io.yaml import load_yaml
+
+    run_config = load_yaml(config)
+
+    datasets = {}
+    for name, spec in run_config["datasets"].items():
+        with np.load(spec["filename"]) as data:
+            datasets[name] = {key: data[key] for key in data.files}
+
+    components = FluxComponents()
+    for name, spec in run_config["components"].items():
+        components[name] = SpatialFluxComponent.from_dict(spec)
+
+    deco = MAPDeconvolver(**run_config.get("deconvolver", {}))
+    result = deco.run(datasets=datasets, components=components)
+    result.write(output, overwrite=overwrite)
+    click.echo(f"wrote {output}")
+
+
+if __name__ == "__main__":
+    cli()

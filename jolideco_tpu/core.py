@@ -365,7 +365,7 @@ class MAPDeconvolver:
 
     # ------------------------------------------------------------------
     def run(self, datasets, datasets_validation=None, components=None,
-            calibrations=None):
+            calibrations=None, resume_from=None):
         """Run the MAP deconvolution.
 
         Parameters
@@ -377,6 +377,13 @@ class MAPDeconvolver:
         datasets_validation : dict of [str, dict], optional
         components : `FluxComponents` or `SpatialFluxComponent`
         calibrations : `NPredCalibrations`, optional
+        resume_from : `MAPDeconvolverResult` or path, optional
+            Resume training: either a previous result (pass its
+            ``.components`` as ``components`` to continue from the same
+            parameters and optimiser moments) or a train-state
+            checkpoint directory written with
+            :meth:`MAPDeconvolverResult.save_state`. Not available in
+            the reference (its checkpoints restore model state only).
 
         Returns
         -------
@@ -410,6 +417,19 @@ class MAPDeconvolver:
         epoch_fn = self._make_epoch_fn(tx, n_datasets)
 
         key = jax.random.PRNGKey(self.seed)
+
+        if resume_from is not None:
+            if isinstance(resume_from, MAPDeconvolverResult):
+                if resume_from.opt_state is not None:
+                    opt_state = resume_from.opt_state
+                if resume_from.final_key is not None:
+                    key = resume_from.final_key
+            else:
+                from .utils.checkpoint import restore_train_state
+
+                params, opt_state, key, _ = restore_train_state(
+                    resume_from, params, opt_state, key
+                )
 
         use_scan = self.scan_epochs
         if use_scan is None:
@@ -456,6 +476,7 @@ class MAPDeconvolver:
             calibrations=calibrations,
             calibrations_init=calibrations_init,
             opt_state=opt_state,
+            final_key=jax.random.fold_in(key, self.n_epochs),
             wcs=None,
         )
 
@@ -543,7 +564,7 @@ class MAPDeconvolverResult:
 
     def __init__(self, config, components, trace_loss, components_init=None,
                  calibrations=None, calibrations_init=None, opt_state=None,
-                 wcs=None):
+                 final_key=None, wcs=None):
         self._components = components
         self._components_init = components_init
         if isinstance(trace_loss, dict):
@@ -553,6 +574,7 @@ class MAPDeconvolverResult:
         self._calibrations_init = calibrations_init
         self._config = config
         self._opt_state = opt_state
+        self._final_key = final_key
         self._wcs = wcs
 
     @property
@@ -584,6 +606,30 @@ class MAPDeconvolverResult:
     def opt_state(self):
         """Final optimiser state (for resuming)."""
         return self._opt_state
+
+    @property
+    def final_key(self):
+        """PRNG key after training (for resuming)."""
+        return self._final_key
+
+    def save_state(self, path):
+        """Save the full train state (params, optimiser moments, PRNG
+        key) so training can resume across sessions — see
+        ``MAPDeconvolver.run(resume_from=...)``."""
+        from .utils.checkpoint import save_train_state
+
+        params = {"components": self.components.parameters()}
+        if self.calibrations:
+            calib_params = self.calibrations.parameters()
+            if calib_params:
+                params["calibrations"] = calib_params
+        save_train_state(
+            path,
+            params=params,
+            opt_state=self._opt_state,
+            key=self._final_key,
+            epoch=len(self.trace_loss),
+        )
 
     @property
     def flux_total(self):

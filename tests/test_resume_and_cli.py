@@ -1,0 +1,134 @@
+"""Resume-training, train-state checkpoint and CLI tests."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from jolideco_tpu import (
+    FluxComponents,
+    MAPDeconvolver,
+    SpatialFluxComponent,
+    UniformPrior,
+)
+from jolideco_tpu.data import gauss_and_point_sources_gauss_psf
+
+
+@pytest.fixture(scope="module")
+def datasets():
+    rs = np.random.RandomState(642020)
+    return {
+        f"{idx}": gauss_and_point_sources_gauss_psf(random_state=rs)
+        for idx in range(2)
+    }
+
+
+def build_components():
+    rs = np.random.RandomState(642020)
+    flux_init = rs.gamma(20, size=(32, 32))
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=flux_init, prior=UniformPrior()
+    )
+    return components
+
+
+def test_resume_from_result_matches_continuous(datasets):
+    """20 epochs == 10 epochs + resume(10 epochs) with Adam moments."""
+    deco20 = MAPDeconvolver(
+        n_epochs=20, learning_rate=0.1, display_progress=False
+    )
+    r20 = deco20.run(datasets=datasets, components=build_components())
+
+    deco10 = MAPDeconvolver(
+        n_epochs=10, learning_rate=0.1, display_progress=False
+    )
+    r10 = deco10.run(datasets=datasets, components=build_components())
+    r10b = deco10.run(
+        datasets=datasets, components=r10.components, resume_from=r10
+    )
+
+    assert_allclose(r10b.flux_total, r20.flux_total, rtol=1e-4)
+
+
+def test_save_restore_state_roundtrip(datasets, tmp_path):
+    deco = MAPDeconvolver(
+        n_epochs=10, learning_rate=0.1, display_progress=False
+    )
+    result = deco.run(datasets=datasets, components=build_components())
+    result.save_state(tmp_path / "state")
+
+    # resume from disk: params + optimiser moments restored
+    components = build_components()  # structure template; overwritten
+    result2 = deco.run(
+        datasets=datasets, components=components,
+        resume_from=tmp_path / "state",
+    )
+    assert np.isfinite(result2.flux_total).all()
+
+    # the restored run must continue, not restart: compare to a
+    # 20-epoch continuous run
+    deco20 = MAPDeconvolver(
+        n_epochs=20, learning_rate=0.1, display_progress=False
+    )
+    r20 = deco20.run(datasets=datasets, components=build_components())
+    assert_allclose(result2.flux_total, r20.flux_total, rtol=1e-3)
+
+
+def test_cli_version():
+    from click.testing import CliRunner
+
+    from jolideco_tpu.cli import cli
+
+    runner = CliRunner()
+    result = runner.invoke(cli, ["--version"])
+    assert result.exit_code == 0
+    assert "Jolideco-TPU version" in result.output
+
+
+def test_cli_help():
+    from click.testing import CliRunner
+
+    from jolideco_tpu.cli import cli
+
+    runner = CliRunner()
+    result = runner.invoke(cli, ["--help"])
+    assert result.exit_code == 0
+    assert "test" in result.output
+    assert "run" in result.output
+
+
+def test_cli_run(tmp_path):
+    import yaml
+    from click.testing import CliRunner
+
+    from jolideco_tpu.cli import cli
+
+    rs = np.random.RandomState(642020)
+    dataset = gauss_and_point_sources_gauss_psf(random_state=rs)
+    np.savez(tmp_path / "obs.npz", **dataset)
+
+    flux_init = rs.gamma(20, size=(32, 32))
+    config = {
+        "datasets": {"obs-1": {"filename": str(tmp_path / "obs.npz")}},
+        "components": {
+            "flux": {
+                "flux_upsampled": flux_init[None, None].tolist(),
+                "prior": {"type": "uniform"},
+            }
+        },
+        "deconvolver": {
+            "n_epochs": 3,
+            "learning_rate": 0.1,
+            "display_progress": False,
+        },
+    }
+    config_path = tmp_path / "run.yaml"
+    config_path.write_text(yaml.safe_dump(config))
+
+    runner = CliRunner()
+    output = tmp_path / "result.fits"
+    result = runner.invoke(
+        cli, ["run", str(config_path), "--output", str(output)]
+    )
+    assert result.exit_code == 0, result.output
+    assert output.exists()
