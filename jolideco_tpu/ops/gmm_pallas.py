@@ -85,12 +85,21 @@ def pack_gmm_buffers(means_prec, prec_chol, log_det, log_weights,
     for c in range(KB):
         segment[c * d : (c + 1) * d, c] = 1.0
 
+    # backward-pass quadratic form: q_k(x) = x A_k x^T - 2 x b_k + c_k
+    # with A_k = P_k W P_k^T, b_k = mp_k W P_k^T, so
+    # d logit_k / dx = -(x A_k - b_k) — one gather + one reduce.
+    w_diag = np.asarray(pixel_weights, np.float64).reshape(d)
+    a_quad = np.einsum("kde,e,kje->kdj", prec_chol, w_diag, prec_chol)
+    b_quad = np.einsum("ke,e,kje->kj", means_prec, w_diag, prec_chol)
+
     return {
         "b_packed": jnp.asarray(b),
         "mp_row": jnp.asarray(mp),
         "w_row": jnp.asarray(w),
         "const": jnp.asarray(const),
         "segment": jnp.asarray(segment),
+        "a_quad": jnp.asarray(a_quad, jnp.float32),
+        "b_quad": jnp.asarray(b_quad, jnp.float32),
     }
 
 
@@ -202,16 +211,14 @@ def _bwd(interpret, residuals, cotangents):
     patches, packed, means_prec, prec_chol, pixel_weights, argmax = residuals
     g_values, _ = cotangents
 
-    prec_g = jnp.take(prec_chol, argmax, axis=0)     # (N, d, d)
-    mp_g = jnp.take(means_prec, argmax, axis=0)      # (N, d)
-    y = jnp.einsum(
-        "nd,ndj->nj", patches, prec_g, precision=lax.Precision.HIGHEST
-    ) - mp_g
-    wy = y * pixel_weights
-    dx = -jnp.einsum(
-        "nj,ndj->nd", wy, prec_g, precision=lax.Precision.HIGHEST
-    )
-    dx = dx * g_values[:, None]
+    # MAP backward via the gathered quadratic form:
+    # d logit_{k*} / dx = -(x A_{k*} - b_{k*}).  The elementwise
+    # broadcast-reduce keeps this on the VPU (bandwidth-bound on the
+    # ~N*d*d gather) instead of N tiny batched MXU matmuls.
+    a_g = jnp.take(packed["a_quad"], argmax, axis=0)   # (N, d, d)
+    b_g = jnp.take(packed["b_quad"], argmax, axis=0)   # (N, d)
+    xa = jnp.sum(patches[:, :, None] * a_g, axis=1)    # (N, d)
+    dx = -(xa - b_g) * g_values[:, None]
 
     return (
         dx,

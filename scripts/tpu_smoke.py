@@ -78,8 +78,12 @@ def main():
 
     g_scan, tg_scan = timeit(grad_scan, (x, *scan_args), "grad scan ")
     g_pal, tg_pal = timeit(grad_pallas, (x, *args_pallas), "grad pallas")
-    diff = np.abs(np.asarray(g_scan) - np.asarray(g_pal)).max()
-    print(f"grad maxdiff: {diff:.2e}", flush=True)
+    g_scan = np.asarray(g_scan)
+    g_pal = np.asarray(g_pal)
+    denom = np.abs(g_scan).max()
+    print(f"grad maxdiff: {np.abs(g_scan - g_pal).max():.2e} "
+          f"(rel {np.abs(g_scan - g_pal).max() / denom:.2e}, "
+          f"scale {denom:.2e})", flush=True)
 
     flops = 2 * n * 200 * 64 * 64
     print(f"fwd pallas: {flops / t_pal / 1e12:.2f} TFLOP/s effective",

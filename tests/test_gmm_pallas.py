@@ -96,10 +96,11 @@ def test_gradient_matches_scan(gmm, patches):
         values, _ = gmm.score(x)
         return jnp.sum(values)
 
-    g_pallas = jax.grad(loss_pallas)(patches)
-    g_scan = jax.grad(loss_scan)(patches)
-    assert_allclose(np.asarray(g_pallas), np.asarray(g_scan), rtol=1e-3,
-                    atol=1e-4)
+    g_pallas = np.asarray(jax.grad(loss_pallas)(patches))
+    g_scan = np.asarray(jax.grad(loss_scan)(patches))
+    # gradients of the builtin GMM are O(1e5); compare relatively
+    scale = np.abs(g_scan).max()
+    assert_allclose(g_pallas / scale, g_scan / scale, atol=1e-4)
 
 
 def test_pack_layout(gmm):
