@@ -108,28 +108,30 @@ def main():
         prior=GMMPatchPrior(gmm=gmm, cycle_spin=True),
     )
 
+    chunk = min(100, args.iters)
     deco = MAPDeconvolver(
         n_epochs=args.iters,
         learning_rate=0.1,
         display_progress=False,
         update_strategy="joint",
         scan_epochs=True,
+        scan_chunk=chunk,
         trace_every=0,
         seed=0,
     )
 
-    # compile warm-up: one-epoch run with identical shapes
-    warmup = MAPDeconvolver(
-        n_epochs=1, learning_rate=0.1, display_progress=False,
-        update_strategy="joint", scan_epochs=True, trace_every=0, seed=0,
-    )
+    # compile warm-up: run one chunk with identical shapes on the same
+    # deconvolver instance — the chunked scan executable is cached and
+    # reused by the timed run
     import copy
 
     t0 = time.time()
-    warmup.run(datasets=datasets, components=copy.deepcopy(components))
+    deco.n_epochs = chunk
+    deco.run(datasets=datasets, components=copy.deepcopy(components))
+    deco.n_epochs = args.iters
     compile_time = time.time() - t0
     if args.verbose:
-        print(f"warm-up (compile + 1 iter): {compile_time:.1f}s",
+        print(f"warm-up (compile + {chunk} iters): {compile_time:.1f}s",
               file=sys.stderr)
 
     t0 = time.time()

@@ -9,6 +9,29 @@ __all__ = ["use_pallas", "set_use_pallas", "pallas_mode"]
 # mode (for CPU testing). "off": always the XLA fallback.
 _USE_PALLAS = "auto"
 
+# MXU precision for GMM scoring matmuls: "highest" (float32 parity,
+# default), "high" (3-pass), "default" (bf16 throughput).
+_GMM_PRECISION = "highest"
+
+
+def set_gmm_precision(mode):
+    """Set GMM-scoring matmul precision: highest|high|default."""
+    global _GMM_PRECISION
+    if mode not in ("highest", "high", "default"):
+        raise ValueError(f"invalid precision mode {mode!r}")
+    _GMM_PRECISION = mode
+
+
+def gmm_precision():
+    """Resolved lax.Precision for GMM scoring."""
+    from jax import lax
+
+    return {
+        "highest": lax.Precision.HIGHEST,
+        "high": lax.Precision.HIGH,
+        "default": lax.Precision.DEFAULT,
+    }[_GMM_PRECISION]
+
 
 def set_use_pallas(mode):
     """Set the Pallas dispatch mode: auto|on|interpret|off."""

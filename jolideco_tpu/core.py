@@ -119,6 +119,7 @@ class MAPDeconvolver:
         checkpoint_path=None,
         update_strategy="sequential",
         scan_epochs=None,
+        scan_chunk=None,
         trace_every=1,
         seed=0,
         device=None,
@@ -156,6 +157,7 @@ class MAPDeconvolver:
             )
         self.update_strategy = update_strategy
         self.scan_epochs = scan_epochs
+        self.scan_chunk = None if scan_chunk is None else int(scan_chunk)
         self.trace_every = int(trace_every)
 
         if checkpoint_path is not None:
@@ -306,17 +308,35 @@ class MAPDeconvolver:
 
         return jax.jit(epoch_fn)
 
-    def _run_scan(self, epoch_fn, components, total_loss, params, opt_state,
-                  keys):
-        """All epochs in one jitted ``lax.scan`` with early-stop gating."""
+    def _get_fns(self, n_datasets):
+        """Optimiser + jitted epoch/scan functions, cached per instance.
+
+        Caching keeps jit compilation caches warm across repeated
+        ``run`` calls with identical configuration (e.g. benchmark
+        warm-up runs).
+        """
+        cache_key = (n_datasets,)
+        if getattr(self, "_fn_cache_key", None) != cache_key:
+            tx = self._make_optimizer()
+            epoch_fn = self._make_epoch_fn(tx, n_datasets)
+            scan_fn = self._make_scan_fn(epoch_fn)
+            self._fn_cache_key = cache_key
+            self._fn_cache = (tx, epoch_fn, scan_fn)
+        return self._fn_cache
+
+    def _make_scan_fn(self, epoch_fn):
+        """Jitted ``lax.scan`` over a chunk of epochs with early-stop
+        gating. Compiled once per chunk length."""
         stop_early = self.stop_early
         n_average = self.stop_early_n_average
 
         @jax.jit
-        def run(components, total_loss, params, opt_state, keys):
-            # determine the trace-row structure once
+        def run(components, total_loss, carry, keys):
+            # determine the trace-row structure once (dead code after
+            # lowering — only the dict keys are used)
+            params0, opt_state0 = carry[0], carry[1]
             _, _, proto = epoch_fn(
-                components, total_loss, params, opt_state, keys[0]
+                components, total_loss, params0, opt_state0, keys[0]
             )
             nan_row = {k: jnp.float32(jnp.nan) for k in proto}
 
@@ -349,19 +369,49 @@ class MAPDeconvolver:
                     )
                 return (params, opt_state, done, val_hist, count), row
 
-            init = (
-                params,
-                opt_state,
-                jnp.bool_(False),
-                jnp.full((n_average,), jnp.inf, jnp.float32),
-                jnp.int32(0),
-            )
-            (params, opt_state, done, _, count), rows = jax.lax.scan(
-                body, init, keys
-            )
-            return params, opt_state, rows, count
+            carry, rows = jax.lax.scan(body, tuple(carry), keys)
+            return carry, rows
 
-        return run(components, total_loss, params, opt_state, keys)
+        return run
+
+    def _run_scan(self, scan_fn, components, total_loss, params, opt_state,
+                  keys):
+        """Run all epochs through chunked jitted scans.
+
+        The scan is executed in equal-size chunks (one compilation per
+        distinct chunk length) so repeated runs and different epoch
+        counts reuse the compiled chunk executable.
+        """
+        n_epochs = keys.shape[0]
+        chunk = self.scan_chunk or n_epochs
+        n_average = self.stop_early_n_average
+
+        carry = (
+            params,
+            opt_state,
+            jnp.bool_(False),
+            jnp.full((n_average,), jnp.inf, jnp.float32),
+            jnp.int32(0),
+        )
+
+        all_rows = []
+        start = 0
+        while start < n_epochs:
+            stop = min(start + chunk, n_epochs)
+            carry, rows = scan_fn(
+                components, total_loss, carry, keys[start:stop]
+            )
+            all_rows.append(rows)
+            start = stop
+
+        params, opt_state, _, _, count = carry
+        if len(all_rows) == 1:
+            rows = all_rows[0]
+        else:
+            rows = jax.tree_util.tree_map(
+                lambda *parts: jnp.concatenate(parts), *all_rows
+            )
+        return params, opt_state, rows, count
 
     # ------------------------------------------------------------------
     def run(self, datasets, datasets_validation=None, components=None,
@@ -410,11 +460,9 @@ class MAPDeconvolver:
             if calib_params:
                 params["calibrations"] = calib_params
 
-        tx = self._make_optimizer()
-        opt_state = tx.init(params)
-
         n_datasets = total_loss.poisson_loss.n_datasets
-        epoch_fn = self._make_epoch_fn(tx, n_datasets)
+        tx, epoch_fn, scan_fn = self._get_fns(n_datasets)
+        opt_state = tx.init(params)
 
         key = jax.random.PRNGKey(self.seed)
 
@@ -440,7 +488,7 @@ class MAPDeconvolver:
         if use_scan and self.checkpoint_path is None:
             keys = jax.random.split(key, self.n_epochs)
             params, opt_state, rows, count = self._run_scan(
-                epoch_fn, components, total_loss, params, opt_state, keys
+                scan_fn, components, total_loss, params, opt_state, keys
             )
             rows = {k: np.asarray(v) for k, v in rows.items()}
             n_rows = int(count) if self.stop_early else self.n_epochs

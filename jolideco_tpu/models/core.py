@@ -316,6 +316,13 @@ class SpatialFluxComponent:
         add_cbar(im=im, ax=ax, fig=ax.figure)
         return ax
 
+    def as_gp_map(self):
+        """Convert to a Gammapy WCS map (requires gammapy)."""
+        from gammapy.maps import Map, WcsGeom
+
+        geom = WcsGeom(wcs=self.wcs, npix=self.shape_image)
+        return Map.from_geom(geom=geom, data=self.flux_numpy)
+
 
 register_pytree(
     SpatialFluxComponent,

@@ -104,7 +104,7 @@ def pack_gmm_buffers(means_prec, prec_chol, log_det, log_weights,
 
 
 def _score_kernel(x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
-                  values_ref, argmax_ref):
+                  values_ref, argmax_ref, *, precision):
     d = x_ref.shape[1]
     block = KB * d
     n_blocks = b_ref.shape[1] // block
@@ -115,11 +115,15 @@ def _score_kernel(x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
         best, best_idx = carry
         col0 = pl.multiple_of(kb * block, block)
         b_block = b_ref[:, pl.ds(col0, block)]          # (d, KB*d)
-        y = jnp.dot(x, b_block, preferred_element_type=jnp.float32)
+        y = jnp.dot(x, b_block, preferred_element_type=jnp.float32,
+                    precision=precision)
         z = jnp.square(y - mp_ref[:, pl.ds(col0, block)])
         z = z * w_ref[:, pl.ds(col0, block)]
         # segment-reduce KB*d lanes -> KB per-component sums via MXU
-        q = jnp.dot(z, seg_ref[:], preferred_element_type=jnp.float32)
+        # (0/1 segment matrix; needs >= HIGH precision so z is not
+        # truncated to bf16 before accumulation)
+        q = jnp.dot(z, seg_ref[:], preferred_element_type=jnp.float32,
+                    precision=precision)
         logits = -0.5 * q + const_ref[pl.ds(kb, 1), :]  # (TILE_N, KB)
 
         block_best = jnp.max(logits, axis=1, keepdims=True)
@@ -141,7 +145,8 @@ def _score_kernel(x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
     argmax_ref[:] = best_idx
 
 
-def _score_forward_pallas(patches, packed, interpret=False):
+def _score_forward_pallas(patches, packed, interpret=False,
+                          precision=lax.Precision.HIGHEST):
     n, d = patches.shape
     n_pad = -(-n // TILE_N) * TILE_N
     if n_pad != n:
@@ -159,7 +164,7 @@ def _score_forward_pallas(patches, packed, interpret=False):
         return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     values, argmax = pl.pallas_call(
-        _score_kernel,
+        partial(_score_kernel, precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_N, d), lambda i: (i, 0),
@@ -186,28 +191,33 @@ def _score_forward_pallas(patches, packed, interpret=False):
     return values[:n, 0], argmax[:n, 0]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def gmm_score_pallas(patches, packed, means_prec, prec_chol, pixel_weights,
-                     interpret=False):
+                     interpret=False, precision=lax.Precision.HIGHEST):
     """MAP GMM score via the Pallas kernel.
 
     Same contract as ``gmm_score(..., marginalize=False)``: returns
     ``(values (N,), argmax (N,))``. ``packed`` comes from
-    :func:`pack_gmm_buffers` (precompute once per GMM).
+    :func:`pack_gmm_buffers` (precompute once per GMM). ``precision``
+    controls the MXU passes: HIGHEST for float32 parity (default),
+    DEFAULT for bf16 throughput.
     """
-    return _score_forward_pallas(patches, packed, interpret=interpret)
+    return _score_forward_pallas(
+        patches, packed, interpret=interpret, precision=precision
+    )
 
 
-def _fwd(patches, packed, means_prec, prec_chol, pixel_weights, interpret):
+def _fwd(patches, packed, means_prec, prec_chol, pixel_weights, interpret,
+         precision):
     values, argmax = _score_forward_pallas(
-        patches, packed, interpret=interpret
+        patches, packed, interpret=interpret, precision=precision
     )
     residuals = (patches, packed, means_prec, prec_chol, pixel_weights,
                  argmax)
     return (values, argmax), residuals
 
 
-def _bwd(interpret, residuals, cotangents):
+def _bwd(interpret, precision, residuals, cotangents):
     patches, packed, means_prec, prec_chol, pixel_weights, argmax = residuals
     g_values, _ = cotangents
 

@@ -178,12 +178,18 @@ class GaussianMixtureModel:
         when enabled (``jolideco_tpu.config``); logsumexp marginalise
         and unsupported shapes use the XLA scan.
         """
-        from ...config import pallas_mode
+        from ...config import gmm_precision, pallas_mode
 
         enabled, interpret = pallas_mode()
         if enabled and not marginalize and self.packed is not None:
+            from jax import lax
+
             from ...ops.gmm_pallas import gmm_score_pallas
 
+            precision = gmm_precision()
+            if precision == lax.Precision.HIGH:
+                # Mosaic supports only DEFAULT and HIGHEST dot precision
+                precision = lax.Precision.HIGHEST
             return gmm_score_pallas(
                 x,
                 self.packed,
@@ -191,8 +197,12 @@ class GaussianMixtureModel:
                 self.precisions_cholesky,
                 self.pixel_weights,
                 interpret,
+                precision,
             )
-        return gmm_score(x, *self._score_arrays(), marginalize=marginalize)
+        return gmm_score(
+            x, *self._score_arrays(), marginalize=marginalize,
+            precision=gmm_precision(),
+        )
 
     def estimate_log_prob_numpy(self, x):
         """Numpy reference implementation (float64)."""

@@ -43,19 +43,7 @@ def main():
         gmm.pixel_weights,
     )
 
-    @jax.jit
-    def fwd_pallas(x, *a):
-        v, i = gmm_score_pallas(x, *a, False)
-        return v.sum()
-
-    @jax.jit
-    def fwd_scan(x, *a):
-        v, i = gmm_score(x, *a)
-        return v.sum()
-
-    grad_pallas = jax.jit(jax.grad(lambda x, *a: gmm_score_pallas(
-        x, *a, False)[0].sum()))
-    grad_scan = jax.jit(jax.grad(lambda x, *a: gmm_score(x, *a)[0].sum()))
+    from jax import lax
 
     def timeit(fn, args, label, iters=20):
         t0 = time.time()
@@ -71,25 +59,48 @@ def main():
               flush=True)
         return out, per_iter
 
-    v_scan, t_scan = timeit(fwd_scan, (x, *scan_args), "fwd  scan ")
-    v_pal, t_pal = timeit(fwd_pallas, (x, *args_pallas), "fwd  pallas")
-    print("fwd values close:",
-          np.allclose(float(v_scan), float(v_pal), rtol=1e-4), flush=True)
-
-    g_scan, tg_scan = timeit(grad_scan, (x, *scan_args), "grad scan ")
-    g_pal, tg_pal = timeit(grad_pallas, (x, *args_pallas), "grad pallas")
-    g_scan = np.asarray(g_scan)
-    g_pal = np.asarray(g_pal)
-    denom = np.abs(g_scan).max()
-    print(f"grad maxdiff: {np.abs(g_scan - g_pal).max():.2e} "
-          f"(rel {np.abs(g_scan - g_pal).max() / denom:.2e}, "
-          f"scale {denom:.2e})", flush=True)
-
     flops = 2 * n * 200 * 64 * 64
-    print(f"fwd pallas: {flops / t_pal / 1e12:.2f} TFLOP/s effective",
-          flush=True)
-    print(f"fwd scan  : {flops / t_scan / 1e12:.2f} TFLOP/s effective",
-          flush=True)
+
+    # reference values/argmax from the HIGHEST scan
+    @jax.jit
+    def ref_scan(x, *a):
+        return gmm_score(x, *a)
+
+    (v_ref, i_ref), t_scan = timeit(ref_scan, (x, *scan_args), "scan HIGHEST")
+    v_ref = np.asarray(v_ref)
+    i_ref = np.asarray(i_ref)
+    print(f"  scan: {flops / t_scan / 1e12:.2f} TFLOP/s", flush=True)
+
+    g_ref, tg_scan = timeit(
+        jax.jit(jax.grad(lambda x, *a: gmm_score(x, *a)[0].sum())),
+        (x, *scan_args), "grad scan HIGHEST",
+    )
+    g_ref = np.asarray(g_ref)
+    scale = np.abs(g_ref).max()
+
+    for name, prec in [
+        ("HIGHEST", lax.Precision.HIGHEST),
+        ("DEFAULT", lax.Precision.DEFAULT),
+    ]:
+        fwd = jax.jit(
+            lambda x, *a, p=prec: gmm_score_pallas(x, *a, False, p)
+        )
+        (v, i), t_pal = timeit(fwd, (x, *args_pallas), f"pallas {name} fwd")
+        v = np.asarray(v)
+        i = np.asarray(i)
+        agree = (i == i_ref).mean()
+        vdiff = np.abs(v - v_ref).max() / max(np.abs(v_ref).max(), 1)
+        print(f"  {name}: {flops / t_pal / 1e12:.2f} TFLOP/s, "
+              f"argmax agree {agree:.4f}, value reldiff {vdiff:.2e}",
+              flush=True)
+
+        grad = jax.jit(jax.grad(
+            lambda x, *a, p=prec: gmm_score_pallas(x, *a, False, p)[0].sum()
+        ))
+        g, tg = timeit(grad, (x, *args_pallas), f"pallas {name} grad")
+        g = np.asarray(g)
+        print(f"  grad rel maxdiff {np.abs(g - g_ref).max() / scale:.2e}",
+              flush=True)
 
 
 if __name__ == "__main__":
