@@ -88,12 +88,20 @@ def main():
     parser.add_argument("--gmm-k", type=int, default=200)
     parser.add_argument("--stride", type=int, default=4)
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--profile-dir", default=None,
+                        help="capture a jax profiler trace of the timed run")
+    parser.add_argument("--precision", default="highest",
+                        choices=["highest", "high", "default"],
+                        help="GMM scoring MXU precision")
     args = parser.parse_args()
 
     import jax
 
     from jolideco_tpu import FluxComponents, MAPDeconvolver, SpatialFluxComponent
+    from jolideco_tpu import config as jt_config
     from jolideco_tpu.priors import GMMPatchPrior
+
+    jt_config.set_gmm_precision(args.precision)
 
     if args.verbose:
         print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -134,10 +142,20 @@ def main():
         print(f"warm-up (compile + {chunk} iters): {compile_time:.1f}s",
               file=sys.stderr)
 
+    if args.profile_dir:
+        import contextlib
+
+        profile_ctx = jax.profiler.trace(args.profile_dir)
+    else:
+        import contextlib
+
+        profile_ctx = contextlib.nullcontext()
+
     t0 = time.time()
-    result = deco.run(datasets=datasets, components=components)
-    # block on the final flux
-    np.asarray(result.components["flux"].flux_upsampled_numpy)
+    with profile_ctx:
+        result = deco.run(datasets=datasets, components=components)
+        # block on the final flux
+        np.asarray(result.components["flux"].flux_upsampled_numpy)
     elapsed = time.time() - t0
 
     iters_per_sec = args.iters / elapsed

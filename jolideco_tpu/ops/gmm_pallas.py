@@ -120,8 +120,7 @@ def _score_kernel(x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
         z = jnp.square(y - mp_ref[:, pl.ds(col0, block)])
         z = z * w_ref[:, pl.ds(col0, block)]
         # segment-reduce KB*d lanes -> KB per-component sums via MXU
-        # (0/1 segment matrix; needs >= HIGH precision so z is not
-        # truncated to bf16 before accumulation)
+        # (lane-slice VPU reductions measured slower than this matmul)
         q = jnp.dot(z, seg_ref[:], preferred_element_type=jnp.float32,
                     precision=precision)
         logits = -0.5 * q + const_ref[pl.ds(kb, 1), :]  # (TILE_N, KB)

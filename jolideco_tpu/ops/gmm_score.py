@@ -205,16 +205,24 @@ def _score_bwd(marginalize, precision, residuals, cotangents):
     const = _const_terms(log_det, log_weights, n_features)
 
     if not marginalize:
-        # d logit_k* / dx = -(w * y_k*) @ P_k*^T ; gather the winners.
-        prec_g = jnp.take(prec_chol, argmax, axis=0)      # (N, d, d)
-        mp_g = jnp.take(means_prec, argmax, axis=0)       # (N, d)
-        y = (
-            jnp.einsum("nd,ndj->nj", patches, prec_g, precision=precision)
-            - mp_g
+        # MAP: gradients flow only through the argmax component.
+        # Quadratic-form identity: q_k(x) = x A_k x^T - 2 x b_k + c_k
+        # with A_k = P_k W P_k^T, b_k = mp_k W P_k^T, so
+        # d logit_{k*} / dx = -(x A_{k*} - b_{k*}). The row-gather of A
+        # plus a broadcast-reduce stays on the VPU at memory bandwidth;
+        # batched per-sample matmuls measured ~60x slower on TPU.
+        a_quad = jnp.einsum(
+            "kde,e,kje->kdj", prec_chol, pixel_weights, prec_chol,
+            precision=precision,
         )
-        wy = y * pixel_weights
-        dx = -jnp.einsum("nj,ndj->nd", wy, prec_g, precision=precision)
-        dx = dx * g_values[:, None]
+        b_quad = jnp.einsum(
+            "ke,e,kje->kj", means_prec, pixel_weights, prec_chol,
+            precision=precision,
+        )
+        a_g = jnp.take(a_quad, argmax, axis=0)            # (N, d, d)
+        b_g = jnp.take(b_quad, argmax, axis=0)            # (N, d)
+        xa = jnp.sum(patches[:, :, None] * a_g, axis=1)   # (N, d)
+        dx = -(xa - b_g) * g_values[:, None]
     else:
         # softmax-weighted sum over components, re-scanned.
         def body(dx, inputs):

@@ -440,7 +440,12 @@ class GaussianMixtureModel:
     # ------------------------------------------------------------------
     # serialization
     def to_dict(self):
-        """Serialise as a registry reference."""
+        """Serialise as a registry reference, or inline when unknown.
+
+        The reference can only serialise registry GMMs
+        (``gmm.py:458-471`` there); unregistered models here fall back
+        to inlining their arrays.
+        """
         for name in GMM_REGISTRY:
             try:
                 gmm = GaussianMixtureModel.from_registry(name=name)
@@ -448,15 +453,34 @@ class GaussianMixtureModel:
                 continue
             if gmm.is_equal(self):
                 return {"type": name}
-        raise ValueError(
-            "GMM not found in registry; only registered GMMs can be "
-            "serialised by reference"
-        )
+
+        data = {"type": "inline"}
+        data["means"] = self.means_numpy
+        data["covariances"] = self.covariances_numpy
+        data["weights"] = self.weights_numpy
+        if self.meta.stride is not None:
+            data["stride"] = int(self.meta.stride)
+        data["patch_norm"] = self.meta.patch_norm.to_dict()
+        return data
 
     @classmethod
     def from_dict(cls, data):
-        """Build from a registry-reference dict."""
-        return cls.from_registry(name=data["type"])
+        """Build from a registry-reference or inline dict."""
+        if data["type"] != "inline":
+            return cls.from_registry(name=data["type"])
+
+        meta = GaussianMixtureModelMeta(
+            stride=data.get("stride"),
+            patch_norm=PatchNorm.from_dict(
+                dict(data.get("patch_norm", {"type": "subtract-mean"}))
+            ),
+        )
+        return cls.from_numpy(
+            means=np.asarray(data["means"]),
+            covariances=np.asarray(data["covariances"]),
+            weights=np.asarray(data["weights"]),
+            meta=meta,
+        )
 
     def __str__(self):
         return format_class_str(instance=self)

@@ -78,6 +78,14 @@ def main():
     g_ref = np.asarray(g_ref)
     scale = np.abs(g_ref).max()
 
+    # backward-only timing for the scan path
+    @jax.jit
+    def vjp_bwd_scan(x, *a):
+        _, pullback = jax.vjp(lambda x: gmm_score(x, *a)[0].sum(), x)
+        return pullback(jnp.float32(1.0))
+
+    timeit(vjp_bwd_scan, (x, *scan_args), "scan fwd+bwd (vjp)")
+
     for name, prec in [
         ("HIGHEST", lax.Precision.HIGHEST),
         ("DEFAULT", lax.Precision.DEFAULT),
