@@ -62,11 +62,13 @@ class NPredModel:
         self.upsampling_factor = upsampling_factor
 
         if self.psf is not None:
+            from ..ops.fft import good_fft_size
+
             image_shape = self.exposure.shape[-2:]
             if fft_shape is None:
                 fft_shape = (
-                    image_shape[0] + self.psf.shape[-2] - 1,
-                    image_shape[1] + self.psf.shape[-1] - 1,
+                    good_fft_size(image_shape[0] + self.psf.shape[-2] - 1),
+                    good_fft_size(image_shape[1] + self.psf.shape[-1] - 1),
                 )
             self.psf_fft = kernel_fft(self.psf, image_shape, fft_shape)
         else:

@@ -135,19 +135,24 @@ def convolve_fft(image, kernel):
 def good_fft_size(n):
     """Next 5-smooth size >= n (fast for XLA's FFT).
 
-    TPU FFTs are happiest on sizes with small prime factors; used when
-    padding ragged PSF stacks to a common FFT shape.
+    FFT cost explodes for sizes with large prime factors (e.g.
+    1024 + 33 - 1 = 1056 = 2^5*3*11); padding the linear-convolution
+    shape to the next 2^a*3^b*5^c size keeps XLA's FFT on fast radix
+    paths. Linear convolution is unchanged by extra zero padding.
     """
+    n = int(n)
     if n <= 2:
         return max(n, 1)
-    best = 1 << int(np.ceil(np.log2(n)))
-    f5 = 1
-    while f5 < best:
-        f35 = f5
-        while f35 < best:
-            m = f35 * (1 << max(0, int(np.ceil(np.log2(n / f35)))))
-            if n <= m < best:
+    best = 1 << (n - 1).bit_length()
+    p5 = 1
+    while p5 < best:
+        p35 = p5
+        while p35 < best:
+            m = p35
+            while m < n:
+                m *= 2
+            if m < best:
                 best = m
-            f35 *= 3
-        f5 *= 5
+            p35 *= 3
+        p5 *= 5
     return best

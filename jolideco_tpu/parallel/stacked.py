@@ -138,11 +138,13 @@ class StackedPoissonLoss:
 
             image_shape = exp_list[0].shape[-2:]
             if common_fft_shape is None:
+                from ..ops.fft import good_fft_size
+
                 kmax_h = max(p.shape[-2] for p in psf_list)
                 kmax_w = max(p.shape[-1] for p in psf_list)
                 common_fft_shape = (
-                    image_shape[0] + kmax_h - 1,
-                    image_shape[1] + kmax_w - 1,
+                    good_fft_size(image_shape[0] + kmax_h - 1),
+                    good_fft_size(image_shape[1] + kmax_w - 1),
                 )
 
             kfts = [
