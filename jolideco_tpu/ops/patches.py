@@ -59,7 +59,11 @@ def view_as_overlapping_patches(image, shape, stride=None):
     """View an image as a dense matrix of overlapping patches.
 
     Equivalent of ``view_as_overlapping_patches_torch`` (reference
-    ``utils/torch.py:251-275``).
+    ``utils/torch.py:251-275``), implemented with
+    ``lax.conv_general_dilated_patches`` — on TPU a strided patch
+    *gather* costs ~40 ms at benchmark scale (256k indices) while the
+    conv formulation and its transpose (the overlap-add backward) stay
+    on the fast convolution paths.
 
     Parameters
     ----------
@@ -74,16 +78,21 @@ def view_as_overlapping_patches(image, shape, stride=None):
     -------
     patches : array ``(n_patches, ph * pw)``
     """
+    from jax import lax
+
     if stride is None:
         stride = shape[0] // 2
-    im = image.reshape(image.shape[-2:])
-    h, w = im.shape
-    iy = _patch_grid(h, shape[0], stride)
-    ix = _patch_grid(w, shape[1], stride)
-    idy, idx = np.meshgrid(iy, ix, indexing="ij")
-    return extract_patches_at(
-        im, jnp.asarray(idy.ravel()), jnp.asarray(idx.ravel()), shape
+    im = image.reshape((1, 1) + image.shape[-2:])
+    # output: (1, ph*pw, oh, ow) with features ordered (ph, pw)
+    patches = lax.conv_general_dilated_patches(
+        im,
+        filter_shape=tuple(shape),
+        window_strides=(stride, stride),
+        padding="VALID",
     )
+    n_features = shape[0] * shape[1]
+    patches = jnp.transpose(patches[0], (1, 2, 0))
+    return patches.reshape((-1, n_features))
 
 
 def random_patch_indices(key, image_shape, shape, stride):

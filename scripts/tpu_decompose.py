@@ -77,8 +77,11 @@ def main():
 
     timeit(poisson_grad, (poisson, components, params), "poisson grad     ")
 
-    # 3. patch extraction alone
-    from jolideco_tpu.ops.patches import view_as_overlapping_patches
+    # 3. patch extraction alone (conv formulation + its gradient)
+    from jolideco_tpu.ops.patches import (
+        extract_patches_at,
+        view_as_overlapping_patches,
+    )
 
     flux_img = jnp.ones((1, 1, 1024, 1024), jnp.float32)
 
@@ -86,7 +89,21 @@ def main():
     def patches_only(img):
         return view_as_overlapping_patches(img, (8, 8), 4).sum()
 
-    timeit(patches_only, (flux_img,), "patch extraction ")
+    timeit(patches_only, (flux_img,), "patch extract conv")
+
+    timeit(jax.jit(jax.grad(lambda im: patches_only(im))), (flux_img,),
+           "patch extract grad")
+
+    iy = jnp.asarray(
+        np.repeat(np.arange(0, 1017, 4), 255), jnp.int32
+    )
+    ix = jnp.asarray(np.tile(np.arange(0, 1017, 4), 255), jnp.int32)
+
+    @jax.jit
+    def patches_gather(img):
+        return extract_patches_at(img[0, 0], iy, ix, (8, 8)).sum()
+
+    timeit(patches_gather, (flux_img,), "patch extract gthr")
 
     # 4. GMM prior fwd / grad
     @jax.jit

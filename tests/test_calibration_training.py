@@ -1,0 +1,74 @@
+"""Functional test: calibrations recover known nuisance parameters."""
+
+import numpy as np
+from numpy.testing import assert_allclose
+from scipy.signal import fftconvolve
+
+from jolideco_tpu import (
+    FluxComponents,
+    MAPDeconvolver,
+    NPredCalibration,
+    NPredCalibrations,
+    SpatialFluxComponent,
+)
+from jolideco_tpu.utils.kernels import gaussian_kernel_2d
+
+
+def make_shifted_dataset(flux, shift, bkg_norm, rs):
+    """Counts generated from a shifted flux and scaled background."""
+    from scipy.ndimage import shift as nd_shift
+
+    psf = gaussian_kernel_2d(2, x_size=9, y_size=9)
+    exposure = np.ones(flux.shape, np.float32)
+    background = np.ones(flux.shape, np.float32)
+
+    flux_shifted = nd_shift(flux, (shift[1], shift[0]), order=1)
+    npred = (
+        fftconvolve(flux_shifted * exposure, psf, mode="same")
+        + bkg_norm * background
+    )
+    counts = rs.poisson(np.maximum(npred, 0)).astype(np.float32)
+    return {
+        "counts": counts,
+        "psf": psf.astype(np.float32),
+        "exposure": exposure,
+        "background": background,
+    }
+
+
+def test_calibration_recovers_shift_and_background():
+    rs = np.random.RandomState(642020)
+
+    # smooth, bright truth so the position signal is strong
+    yy, xx = np.mgrid[0:64, 0:64]
+    flux = 2000.0 * np.exp(
+        -((xx - 32.0) ** 2 + (yy - 30.0) ** 2) / (2 * 9.0)
+    ).astype(np.float32)
+
+    true_shift = (1.5, -0.75)
+    true_bkg = 1.6
+
+    datasets = {
+        "obs": make_shifted_dataset(flux, true_shift, true_bkg, rs)
+    }
+
+    # frozen flux at the truth: only the calibration trains
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=np.maximum(flux, 1e-3), frozen=True
+    )
+
+    calibrations = NPredCalibrations()
+    calibrations["obs"] = NPredCalibration()
+
+    deco = MAPDeconvolver(
+        n_epochs=500, learning_rate=0.05, display_progress=False
+    )
+    result = deco.run(
+        datasets=datasets, components=components, calibrations=calibrations
+    )
+
+    fitted = result.calibrations["obs"].to_dict()
+    assert_allclose(fitted["shift_x"], true_shift[0], atol=0.15)
+    assert_allclose(fitted["shift_y"], true_shift[1], atol=0.15)
+    assert_allclose(fitted["background_norm"], true_bkg, rtol=0.1)
