@@ -69,6 +69,8 @@ def test_calibration_recovers_shift_and_background():
     )
 
     fitted = result.calibrations["obs"].to_dict()
-    assert_allclose(fitted["shift_x"], true_shift[0], atol=0.15)
-    assert_allclose(fitted["shift_y"], true_shift[1], atol=0.15)
+    # shift_image samples input at +shift (grid_sample convention), so
+    # the fitted calibration is the negative of the data shift
+    assert_allclose(fitted["shift_x"], -true_shift[0], atol=0.15)
+    assert_allclose(fitted["shift_y"], -true_shift[1], atol=0.15)
     assert_allclose(fitted["background_norm"], true_bkg, rtol=0.1)
