@@ -343,6 +343,15 @@ class MAPDeconvolver:
             def body(carry, key_epoch):
                 params, opt_state, done, val_hist, count = carry
 
+                if not stop_early:
+                    # no early stopping: run the epoch unconditionally
+                    # (a lax.cond would shuttle the params/opt-state
+                    # carries through both branches every epoch)
+                    params, opt_state, row = epoch_fn(
+                        components, total_loss, params, opt_state, key_epoch
+                    )
+                    return (params, opt_state, done, val_hist, count), row
+
                 def active(operands):
                     params, opt_state = operands
                     return epoch_fn(
@@ -357,16 +366,13 @@ class MAPDeconvolver:
                     done, idle, active, (params, opt_state)
                 )
 
-                if stop_early:
-                    val = row.get("datasets-validation-total", jnp.float32(0.0))
-                    val_hist = jnp.roll(val_hist, -1).at[-1].set(
-                        jnp.where(done, val_hist[-1], val)
-                    )
-                    count = count + jnp.where(done, 0, 1)
-                    avg = jnp.mean(val_hist)
-                    done = done | (
-                        (count > n_average) & (val > avg) & ~done
-                    )
+                val = row.get("datasets-validation-total", jnp.float32(0.0))
+                val_hist = jnp.roll(val_hist, -1).at[-1].set(
+                    jnp.where(done, val_hist[-1], val)
+                )
+                count = count + jnp.where(done, 0, 1)
+                avg = jnp.mean(val_hist)
+                done = done | ((count > n_average) & (val > avg) & ~done)
                 return (params, opt_state, done, val_hist, count), row
 
             carry, rows = jax.lax.scan(body, tuple(carry), keys)

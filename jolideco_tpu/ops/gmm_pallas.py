@@ -145,9 +145,10 @@ def _score_kernel(x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
 
 
 def _score_forward_pallas(patches, packed, interpret=False,
-                          precision=lax.Precision.HIGHEST):
+                          precision=lax.Precision.HIGHEST, tile_n=None):
+    tile_n = tile_n or TILE_N
     n, d = patches.shape
-    n_pad = -(-n // TILE_N) * TILE_N
+    n_pad = -(-n // tile_n) * tile_n
     if n_pad != n:
         patches = jnp.pad(patches, ((0, n_pad - n), (0, 0)))
 
@@ -157,7 +158,7 @@ def _score_forward_pallas(patches, packed, interpret=False,
     const = packed["const"]
     segment = packed["segment"]
 
-    grid = (n_pad // TILE_N,)
+    grid = (n_pad // tile_n,)
 
     def full(shape):
         return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -166,7 +167,7 @@ def _score_forward_pallas(patches, packed, interpret=False,
         partial(_score_kernel, precision=precision),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_N, d), lambda i: (i, 0),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             full(b_packed.shape),
             full(mp_row.shape),
@@ -175,9 +176,9 @@ def _score_forward_pallas(patches, packed, interpret=False,
             full(segment.shape),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

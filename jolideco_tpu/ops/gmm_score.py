@@ -154,24 +154,65 @@ def gmm_score(
     return values, argmax
 
 
+K_BLOCK = 8
+
+
+def _blocked_buffers(means_prec, prec_chol, const, pixel_weights):
+    """Pack per-component buffers into K_BLOCK-sized scan inputs."""
+    k, d, _ = prec_chol.shape
+    k_pad = -(-k // K_BLOCK) * K_BLOCK
+    nb = k_pad // K_BLOCK
+
+    prec_pad = jnp.pad(prec_chol, ((0, k_pad - k), (0, 0), (0, 0)))
+    mp_pad = jnp.pad(means_prec, ((0, k_pad - k), (0, 0)))
+    const_pad = jnp.pad(
+        const, (0, k_pad - k), constant_values=-jnp.inf
+    )
+
+    # b_blocks[nb, d, K_BLOCK*d]: columns c*d+j hold P_k[:, j]
+    b_blocks = prec_pad.reshape(nb, K_BLOCK, d, d).transpose(0, 2, 1, 3)
+    b_blocks = b_blocks.reshape(nb, d, K_BLOCK * d)
+    mp_blocks = mp_pad.reshape(nb, K_BLOCK * d)
+    const_blocks = const_pad.reshape(nb, K_BLOCK)
+    w_tiled = jnp.tile(pixel_weights.reshape(-1), K_BLOCK)
+    return b_blocks, mp_blocks, const_blocks, w_tiled
+
+
 def _score_fwd_impl(patches, means_prec, prec_chol, log_det, log_weights,
                     pixel_weights, marginalize, precision):
     n = patches.shape[0]
-    n_features = patches.shape[-1]
-    const = _const_terms(log_det, log_weights, n_features)
+    d = patches.shape[-1]
+    const = _const_terms(log_det, log_weights, d)
     dtype = patches.dtype
 
+    # scan over blocks of K_BLOCK components: each step is one
+    # (N, d) @ (d, K_BLOCK*d) matmul — full MXU lane width — instead
+    # of K separate d-wide matmuls.
+    b_blocks, mp_blocks, const_blocks, w_tiled = _blocked_buffers(
+        means_prec, prec_chol, const, pixel_weights
+    )
+
     def body(carry, inputs):
-        best, best_idx, lse, k = carry
-        prec_k, mp_k, const_k = inputs
-        logit = _component_logits(
-            patches, prec_k, mp_k, const_k, pixel_weights, precision
+        best, best_idx, lse, kb = carry
+        b_blk, mp_blk, const_blk = inputs
+        y = (
+            jnp.dot(patches, b_blk, precision=precision,
+                    preferred_element_type=dtype)
+            - mp_blk
         )
-        take = logit > best
-        best = jnp.where(take, logit, best)
-        best_idx = jnp.where(take, k, best_idx)
-        lse = jnp.logaddexp(lse, logit)  # stable streaming logsumexp
-        return (best, best_idx, lse, k + 1), None
+        z = jnp.square(y) * w_tiled
+        q = z.reshape(n, K_BLOCK, d).sum(axis=-1)
+        logits = -0.5 * q + const_blk                      # (N, K_BLOCK)
+
+        block_best = jnp.max(logits, axis=1)
+        block_arg = jnp.argmax(logits, axis=1)
+        take = block_best > best
+        best = jnp.where(take, block_best, best)
+        best_idx = jnp.where(take, kb * K_BLOCK + block_arg, best_idx)
+        lse = jnp.logaddexp(
+            lse, jax.scipy.special.logsumexp(logits, axis=1)
+        )
+        return (best, best_idx, lse, kb + 1), None
 
     init = (
         jnp.full((n,), -jnp.inf, dtype),
@@ -180,7 +221,7 @@ def _score_fwd_impl(patches, means_prec, prec_chol, log_det, log_weights,
         jnp.int32(0),
     )
     (best, best_idx, lse, _), _ = lax.scan(
-        body, init, (prec_chol, means_prec, const)
+        body, init, (b_blocks, mp_blocks, const_blocks)
     )
     values = lse if marginalize else best
     return values, best_idx, (best, lse)
