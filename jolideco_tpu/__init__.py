@@ -31,4 +31,6 @@ from .priors import (  # noqa: F401
     UniformPrior,
 )
 
+from . import config  # noqa: F401
+
 __version__ = "0.1.0"

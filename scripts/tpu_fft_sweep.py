@@ -38,12 +38,14 @@ def main():
     rs = np.random.RandomState(0)
     base = jnp.asarray(rs.rand(10, 1, 1, 1024, 1024).astype(np.float32))
 
-    def timeit(fn, args, iters=10):
-        out = fn(*args)
+    def timeit_chained(fn, x, kft, iters=10):
+        # serial dependency between iterations defeats any duplicate-
+        # execution caching in the remote backend
+        out = fn(x, kft)
         jax.block_until_ready(out)
         t0 = time.time()
         for _ in range(iters):
-            out = fn(*args)
+            out = fn(x + out * 1e-30, kft)
         jax.block_until_ready(out)
         return (time.time() - t0) / iters
 
@@ -57,14 +59,19 @@ def main():
         def conv(x, kft, s=s):
             return convolve_fft_precomputed(x, kft, (s, s)).sum()
 
-        t_fwd = timeit(conv, (base, kft))
+        t_fwd = timeit_chained(conv, base, kft)
 
-        grad = jax.jit(jax.grad(
+        grad_fn = jax.grad(
             lambda x, kft, s=s: convolve_fft_precomputed(
                 x, kft, (s, s)
             ).sum()
-        ))
-        t_grad = timeit(grad, (base, kft))
+        )
+
+        @jax.jit
+        def grad_sum(x, kft, s=s):
+            return grad_fn(x, kft).sum()
+
+        t_grad = timeit_chained(grad_sum, base, kft)
 
         print(
             f"conv {s:5d}: fwd {t_fwd*1e3:7.2f} ms  grad {t_grad*1e3:7.2f} "
