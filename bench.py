@@ -93,6 +93,12 @@ def main():
     parser.add_argument("--precision", default="highest",
                         choices=["highest", "high", "default"],
                         help="GMM scoring MXU precision")
+    parser.add_argument("--pallas", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="GMM Pallas kernel dispatch")
+    parser.add_argument("--prior", default="gmm",
+                        choices=["gmm", "uniform"],
+                        help="diagnostic: swap the prior")
     args = parser.parse_args()
 
     import jax
@@ -102,18 +108,25 @@ def main():
     from jolideco_tpu.priors import GMMPatchPrior
 
     jt_config.set_gmm_precision(args.precision)
+    jt_config.set_use_pallas(args.pallas)
 
     if args.verbose:
         print(f"devices: {jax.devices()}", file=sys.stderr)
 
     datasets = make_datasets(n_obs=args.n_obs, size=args.size)
-    gmm = make_bench_gmm(k=args.gmm_k, stride=args.stride)
+
+    if args.prior == "gmm":
+        gmm = make_bench_gmm(k=args.gmm_k, stride=args.stride)
+        prior = GMMPatchPrior(gmm=gmm, cycle_spin=True)
+    else:
+        from jolideco_tpu.priors import UniformPrior
+
+        prior = UniformPrior()
 
     flux_init = np.ones((args.size, args.size), np.float32)
     components = FluxComponents()
     components["flux"] = SpatialFluxComponent.from_numpy(
-        flux=flux_init,
-        prior=GMMPatchPrior(gmm=gmm, cycle_spin=True),
+        flux=flux_init, prior=prior
     )
 
     chunk = min(100, args.iters)

@@ -12,8 +12,6 @@ from pathlib import Path
 
 import numpy as np
 
-import jax
-
 log = logging.getLogger(__name__)
 
 __all__ = ["save_train_state", "restore_train_state"]
