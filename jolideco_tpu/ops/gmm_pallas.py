@@ -104,7 +104,7 @@ def pack_gmm_buffers(means_prec, prec_chol, log_det, log_weights,
 
 
 def _score_kernel(x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
-                  values_ref, argmax_ref, *, precision):
+                  values_ref, argmax_ref, *, precision, marginalize=False):
     d = x_ref.shape[1]
     block = KB * d
     n_blocks = b_ref.shape[1] // block
@@ -112,7 +112,7 @@ def _score_kernel(x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
     x = x_ref[:]  # (TILE_N, d)
 
     def body(kb, carry):
-        best, best_idx = carry
+        best, best_idx, lse = carry
         col0 = pl.multiple_of(kb * block, block)
         b_block = b_ref[:, pl.ds(col0, block)]          # (d, KB*d)
         y = jnp.dot(x, b_block, preferred_element_type=jnp.float32,
@@ -133,19 +133,31 @@ def _score_kernel(x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
         take = block_best > best
         best = jnp.where(take, block_best, best)
         best_idx = jnp.where(take, kb * KB + block_arg, best_idx)
-        return best, best_idx
+
+        if marginalize:
+            # streaming logsumexp over the block (padded components
+            # carry -inf const and contribute exp(-inf) = 0)
+            block_lse = block_best[:, 0:1] + jnp.log(
+                jnp.sum(jnp.exp(logits - block_best), axis=1, keepdims=True)
+            )
+            lse = jnp.maximum(lse, block_lse) + jnp.log1p(
+                jnp.exp(-jnp.abs(lse - block_lse))
+            )
+        return best, best_idx, lse
 
     init = (
         jnp.full((x.shape[0], 1), -jnp.inf, jnp.float32),
         jnp.zeros((x.shape[0], 1), jnp.int32),
+        jnp.full((x.shape[0], 1), -jnp.inf, jnp.float32),
     )
-    best, best_idx = jax.lax.fori_loop(0, n_blocks, body, init)
-    values_ref[:] = best
+    best, best_idx, lse = jax.lax.fori_loop(0, n_blocks, body, init)
+    values_ref[:] = lse if marginalize else best
     argmax_ref[:] = best_idx
 
 
 def _score_forward_pallas(patches, packed, interpret=False,
-                          precision=lax.Precision.HIGHEST, tile_n=None):
+                          precision=lax.Precision.HIGHEST, tile_n=None,
+                          marginalize=False):
     tile_n = tile_n or TILE_N
     n, d = patches.shape
     n_pad = -(-n // tile_n) * tile_n
@@ -164,7 +176,7 @@ def _score_forward_pallas(patches, packed, interpret=False,
         return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     values, argmax = pl.pallas_call(
-        partial(_score_kernel, precision=precision),
+        partial(_score_kernel, precision=precision, marginalize=marginalize),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, d), lambda i: (i, 0),
@@ -191,44 +203,105 @@ def _score_forward_pallas(patches, packed, interpret=False,
     return values[:n, 0], argmax[:n, 0]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def gmm_score_pallas(patches, packed, means_prec, prec_chol, pixel_weights,
-                     interpret=False, precision=lax.Precision.HIGHEST):
-    """MAP GMM score via the Pallas kernel.
+                     interpret=False, precision=lax.Precision.HIGHEST,
+                     marginalize=False):
+    """GMM patch score via the Pallas kernel.
 
-    Same contract as ``gmm_score(..., marginalize=False)``: returns
-    ``(values (N,), argmax (N,))``. ``packed`` comes from
+    Same contract as ``gmm_score``: returns ``(values (N,), argmax
+    (N,))`` where values are the per-patch max (MAP) or logsumexp
+    (marginalise) over components. ``packed`` comes from
     :func:`pack_gmm_buffers` (precompute once per GMM). ``precision``
     controls the MXU passes: HIGHEST for float32 parity (default),
     DEFAULT for bf16 throughput.
     """
     return _score_forward_pallas(
-        patches, packed, interpret=interpret, precision=precision
+        patches, packed, interpret=interpret, precision=precision,
+        marginalize=marginalize,
     )
 
 
 def _fwd(patches, packed, means_prec, prec_chol, pixel_weights, interpret,
-         precision):
+         precision, marginalize):
     values, argmax = _score_forward_pallas(
-        patches, packed, interpret=interpret, precision=precision
+        patches, packed, interpret=interpret, precision=precision,
+        marginalize=marginalize,
     )
     residuals = (patches, packed, means_prec, prec_chol, pixel_weights,
-                 argmax)
+                 argmax, values)
     return (values, argmax), residuals
 
 
-def _bwd(interpret, precision, residuals, cotangents):
-    patches, packed, means_prec, prec_chol, pixel_weights, argmax = residuals
+def _bwd(interpret, precision, marginalize, residuals, cotangents):
+    (patches, packed, means_prec, prec_chol, pixel_weights, argmax,
+     values) = residuals
     g_values, _ = cotangents
 
-    # MAP backward via the gathered quadratic form:
-    # d logit_{k*} / dx = -(x A_{k*} - b_{k*}).  The elementwise
-    # broadcast-reduce keeps this on the VPU (bandwidth-bound on the
-    # ~N*d*d gather) instead of N tiny batched MXU matmuls.
-    a_g = jnp.take(packed["a_quad"], argmax, axis=0)   # (N, d, d)
-    b_g = jnp.take(packed["b_quad"], argmax, axis=0)   # (N, d)
-    xa = jnp.sum(patches[:, :, None] * a_g, axis=1)    # (N, d)
-    dx = -(xa - b_g) * g_values[:, None]
+    if not marginalize:
+        # MAP backward via the gathered quadratic form:
+        # d logit_{k*} / dx = -(x A_{k*} - b_{k*}).  The elementwise
+        # broadcast-reduce keeps this on the VPU (bandwidth-bound on
+        # the ~N*d*d gather) instead of N tiny batched MXU matmuls.
+        a_g = jnp.take(packed["a_quad"], argmax, axis=0)   # (N, d, d)
+        b_g = jnp.take(packed["b_quad"], argmax, axis=0)   # (N, d)
+        xa = jnp.sum(patches[:, :, None] * a_g, axis=1)    # (N, d)
+        dx = -(xa - b_g) * g_values[:, None]
+    else:
+        # logsumexp backward: softmax-weighted mixture over components,
+        # re-scanned in KB-blocks against the packed buffers (values
+        # holds the per-patch logsumexp).
+        d = patches.shape[1]
+        block = KB * d
+        n_blocks = packed["b_packed"].shape[1] // block
+        w_row = packed["w_row"][0]
+        lse = values
+
+        def body(dx, kb):
+            col0 = kb * block
+            b_blk = lax.dynamic_slice_in_dim(
+                packed["b_packed"], col0, block, axis=1
+            )
+            mp_blk = lax.dynamic_slice_in_dim(
+                packed["mp_row"][0], col0, block, axis=0
+            )
+            w_blk = lax.dynamic_slice_in_dim(w_row, col0, block, axis=0)
+            const_blk = lax.dynamic_index_in_dim(
+                packed["const"], kb, 0, keepdims=False
+            )
+            a_blk = lax.dynamic_slice_in_dim(
+                packed["a_quad"], kb * KB, KB, axis=0
+            )
+            b_quad_blk = lax.dynamic_slice_in_dim(
+                packed["b_quad"], kb * KB, KB, axis=0
+            )
+
+            y = jnp.dot(patches, b_blk, precision=precision) - mp_blk
+            z = jnp.square(y) * w_blk
+            q = z.reshape(-1, KB, d).sum(axis=-1)
+            logits = -0.5 * q + const_blk                  # (N, KB)
+            p = jnp.exp(logits - lse[:, None])             # softmax
+
+            # d logit_k / dx = -(x A_k - b_k) for each block component
+            xa = jnp.einsum(
+                "nd,kdj->nkj", patches, a_blk, precision=precision
+            )
+            contrib = -(xa - b_quad_blk[None, :, :])       # (N, KB, d)
+            dx, p_sum = dx
+            dx = dx + jnp.einsum("nk,nkj->nj", p, contrib)
+            p_sum = p_sum + p.sum(axis=1)
+            return (dx, p_sum), None
+
+        (dx, p_sum), _ = lax.scan(
+            body,
+            (jnp.zeros_like(patches), jnp.zeros(patches.shape[0],
+                                                patches.dtype)),
+            jnp.arange(n_blocks),
+        )
+        # renormalise: f32 roundoff between the kernel's lse and the
+        # recomputed logits (magnitudes ~1e5) leaves sum(p) != 1
+        dx = dx / p_sum[:, None]
+        dx = dx * g_values[:, None]
 
     return (
         dx,

@@ -181,7 +181,7 @@ class GaussianMixtureModel:
         from ...config import gmm_precision, pallas_mode
 
         enabled, interpret = pallas_mode()
-        if enabled and not marginalize and self.packed is not None:
+        if enabled and self.packed is not None:
             from jax import lax
 
             from ...ops.gmm_pallas import gmm_score_pallas
@@ -198,6 +198,7 @@ class GaussianMixtureModel:
                 self.pixel_weights,
                 interpret,
                 precision,
+                marginalize,
             )
         return gmm_score(
             x, *self._score_arrays(), marginalize=marginalize,

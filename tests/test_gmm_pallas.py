@@ -87,6 +87,53 @@ def test_forward_ragged_n(gmm):
                     atol=1e-4)
 
 
+def test_marginalize_forward_matches_scan(gmm, patches):
+    from jolideco_tpu.ops.gmm_score import gmm_score
+
+    values_ref, _ = gmm_score(
+        patches,
+        gmm.means_precisions_cholesky,
+        gmm.precisions_cholesky,
+        gmm.log_det_cholesky,
+        gmm.log_weights,
+        gmm.pixel_weights,
+        marginalize=True,
+    )
+    values, _ = gmm_score_pallas(
+        patches, *_pallas_args(gmm), True,
+        marginalize=True,
+    )
+    assert_allclose(np.asarray(values), np.asarray(values_ref), rtol=1e-4,
+                    atol=1e-4)
+
+
+def test_marginalize_gradient_matches_scan(gmm, patches):
+    from jolideco_tpu.ops.gmm_score import gmm_score
+
+    def loss_pallas(x):
+        values, _ = gmm_score_pallas(
+            x, *_pallas_args(gmm), True, marginalize=True
+        )
+        return jnp.sum(values)
+
+    def loss_scan(x):
+        values, _ = gmm_score(
+            x,
+            gmm.means_precisions_cholesky,
+            gmm.precisions_cholesky,
+            gmm.log_det_cholesky,
+            gmm.log_weights,
+            gmm.pixel_weights,
+            marginalize=True,
+        )
+        return jnp.sum(values)
+
+    g_pallas = np.asarray(jax.grad(loss_pallas)(patches))
+    g_scan = np.asarray(jax.grad(loss_scan)(patches))
+    scale = np.abs(g_scan).max()
+    assert_allclose(g_pallas / scale, g_scan / scale, atol=1e-4)
+
+
 def test_gradient_matches_scan(gmm, patches):
     def loss_pallas(x):
         values, _ = gmm_score_pallas(x, *_pallas_args(gmm), True)
