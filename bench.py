@@ -111,6 +111,10 @@ def main():
     jt_config.set_use_pallas(args.pallas)
 
     if args.verbose:
+        import logging
+
+        logging.getLogger("jolideco_tpu.core").setLevel(logging.DEBUG)
+        logging.basicConfig(level=logging.DEBUG)
         print(f"devices: {jax.devices()}", file=sys.stderr)
 
     datasets = make_datasets(n_obs=args.n_obs, size=args.size)

@@ -400,13 +400,24 @@ class MAPDeconvolver:
             jnp.int32(0),
         )
 
+        import time as _time
+
+        debug = log.isEnabledFor(logging.DEBUG)
+
         all_rows = []
         start = 0
         while start < n_epochs:
             stop = min(start + chunk, n_epochs)
+            t0 = _time.time() if debug else None
             carry, rows = scan_fn(
                 components, total_loss, carry, keys[start:stop]
             )
+            if debug:
+                jax.block_until_ready(carry[0])
+                log.debug(
+                    f"scan chunk [{start}:{stop}]: "
+                    f"{(_time.time() - t0) * 1e3:.1f} ms"
+                )
             all_rows.append(rows)
             start = stop
 
