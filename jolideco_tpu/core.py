@@ -331,16 +331,17 @@ class MAPDeconvolver:
         n_average = self.stop_early_n_average
 
         @jax.jit
-        def run(components, total_loss, carry, keys):
+        def run(components, total_loss, carry, key, epochs):
             # determine the trace-row structure once (dead code after
             # lowering — only the dict keys are used)
             params0, opt_state0 = carry[0], carry[1]
             _, _, proto = epoch_fn(
-                components, total_loss, params0, opt_state0, keys[0]
+                components, total_loss, params0, opt_state0, key
             )
             nan_row = {k: jnp.float32(jnp.nan) for k in proto}
 
-            def body(carry, key_epoch):
+            def body(carry, epoch):
+                key_epoch = jax.random.fold_in(key, epoch)
                 params, opt_state, done, val_hist, count = carry
 
                 if not stop_early:
@@ -375,20 +376,20 @@ class MAPDeconvolver:
                 done = done | ((count > n_average) & (val > avg) & ~done)
                 return (params, opt_state, done, val_hist, count), row
 
-            carry, rows = jax.lax.scan(body, tuple(carry), keys)
+            carry, rows = jax.lax.scan(body, tuple(carry), epochs)
             return carry, rows
 
         return run
 
     def _run_scan(self, scan_fn, components, total_loss, params, opt_state,
-                  keys):
+                  key, n_epochs):
         """Run all epochs through chunked jitted scans.
 
         The scan is executed in equal-size chunks (one compilation per
         distinct chunk length) so repeated runs and different epoch
-        counts reuse the compiled chunk executable.
+        counts reuse the compiled chunk executable. Per-epoch keys are
+        ``fold_in(key, epoch)`` — identical to the host loop.
         """
-        n_epochs = keys.shape[0]
         chunk = self.scan_chunk or n_epochs
         n_average = self.stop_early_n_average
 
@@ -410,7 +411,8 @@ class MAPDeconvolver:
             stop = min(start + chunk, n_epochs)
             t0 = _time.time() if debug else None
             carry, rows = scan_fn(
-                components, total_loss, carry, keys[start:stop]
+                components, total_loss, carry, key,
+                jnp.arange(start, stop, dtype=jnp.int32),
             )
             if debug:
                 jax.block_until_ready(carry[0])
@@ -503,9 +505,9 @@ class MAPDeconvolver:
             )
 
         if use_scan and self.checkpoint_path is None:
-            keys = jax.random.split(key, self.n_epochs)
             params, opt_state, rows, count = self._run_scan(
-                scan_fn, components, total_loss, params, opt_state, keys
+                scan_fn, components, total_loss, params, opt_state, key,
+                self.n_epochs,
             )
             rows = {k: np.asarray(v) for k, v in rows.items()}
             n_rows = int(count) if self.stop_early else self.n_epochs
@@ -558,7 +560,7 @@ class MAPDeconvolver:
         with tqdm(total=self.n_epochs * n_datasets, disable=disable) as pbar:
             for epoch in range(self.n_epochs):
                 pbar.set_description(f"Epoch {epoch + 1}")
-                key, key_epoch = jax.random.split(key)
+                key_epoch = jax.random.fold_in(key, epoch)
                 params, opt_state, row = epoch_fn(
                     components, total_loss, params, opt_state, key_epoch
                 )

@@ -263,6 +263,35 @@ def test_scan_and_host_loop_agree(datasets_gauss):
     )
 
 
+def test_scan_and_host_loop_agree_with_randomness(datasets_gauss):
+    """Per-epoch PRNG keys are fold_in-derived in both execution modes,
+    so even random cycle spins give identical trajectories."""
+    import copy
+
+    def build():
+        components = FluxComponents()
+        components["flux-1"] = SpatialFluxComponent.from_numpy(
+            flux=flux_init_32(),
+            prior=GMMPatchPrior(
+                gmm=GaussianMixtureModel.from_registry("builtin-8x8-v1"),
+                cycle_spin=True,
+            ),
+        )
+        return components
+
+    deco_scan = MAPDeconvolver(
+        n_epochs=5, learning_rate=0.1, display_progress=False,
+        scan_epochs=True, seed=7,
+    )
+    deco_loop = MAPDeconvolver(
+        n_epochs=5, learning_rate=0.1, display_progress=False,
+        scan_epochs=False, seed=7,
+    )
+    r1 = deco_scan.run(datasets=datasets_gauss, components=build())
+    r2 = deco_loop.run(datasets=datasets_gauss, components=build())
+    assert_allclose(r1.flux_total, r2.flux_total, rtol=1e-5)
+
+
 def test_joint_update_strategy(datasets_gauss):
     deco = MAPDeconvolver(
         n_epochs=100, learning_rate=0.1, display_progress=False,
