@@ -37,16 +37,16 @@ def main():
         per = (time.time() - t0) / iters
         print(f"{label}: {per*1e3:7.2f} ms", flush=True)
 
-    for s in [1056, 1080, 1152, 2048]:
+    for s in [1056, 1080, 1152]:
+        # small kernel magnitudes keep the chained values bounded
         kft = jnp.asarray(
-            (rs.rand(10, 1, s, s // 2 + 1) * 0.01
-             + 1j * 0.01 * rs.rand(10, 1, s, s // 2 + 1)).astype(np.complex64)
+            (rs.rand(10, 1, s, s // 2 + 1) * 1e-4
+             + 1j * 1e-4 * rs.rand(10, 1, s, s // 2 + 1)).astype(np.complex64)
         )
 
         @jax.jit
         def conv(x, s=s, kft=kft):
-            out = convolve_fft_precomputed(x, kft, (s, s))
-            return out / (1.0 + jnp.abs(out).max())  # keep values bounded
+            return convolve_fft_precomputed(x, kft, (s, s)) + 0.5
 
         timeit_chained(conv, x0, f"fft conv {s:5d}  ")
 
@@ -55,11 +55,10 @@ def main():
 
     @jax.jit
     def direct(x):
-        out = lax.conv_general_dilated(
+        return lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
-        return out / (1.0 + jnp.abs(out).max())
+        ) + 0.5
 
     timeit_chained(direct, x0, "direct conv 33x33")
 
@@ -69,12 +68,11 @@ def main():
 
     @jax.jit
     def grouped(x):
-        out = lax.conv_general_dilated(
+        return lax.conv_general_dilated(
             x, kernels10, window_strides=(1, 1), padding="SAME",
             feature_group_count=10,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
-        return out / (1.0 + jnp.abs(out).max())
+        ) + 0.5
 
     timeit_chained(grouped, x0g, "grouped conv 33x33")
 
