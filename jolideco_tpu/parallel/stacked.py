@@ -50,15 +50,17 @@ class StackedPoissonLoss:
 
     def __init__(self, counts, background, exposures, psf_ffts, names_all,
                  component_factors, fft_shape, has_calibration=False,
-                 weights=None, psf_scales=None):
+                 weights=None, psf_scales=None, psfs=None, conv_mode="fft"):
         self.counts = counts
         self.background = background
         self.exposures = dict(exposures)
         self.psf_ffts = dict(psf_ffts)
+        self.psfs = dict(psfs) if psfs is not None else None
         self.names_all = tuple(names_all)
         self.component_factors = tuple(component_factors)
         self.fft_shape = tuple(fft_shape)
         self.has_calibration = bool(has_calibration)
+        self.conv_mode = str(conv_mode)
         self._weights = tuple(weights) if weights is not None else None
         self.psf_scales = tuple(psf_scales) if psf_scales is not None else None
 

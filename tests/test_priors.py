@@ -230,6 +230,34 @@ def test_gmm_patch_prior_serialization_roundtrip():
     assert prior_new.gmm.is_equal(prior.gmm)
 
 
+def test_multiscale_prior_serialization_roundtrip():
+    from jolideco_tpu.priors import Prior
+
+    gmm = GaussianMixtureModel.from_registry("builtin-8x8-v1")
+    prior = MultiScalePrior(
+        prior=GMMPatchPrior(gmm=gmm, cycle_spin=False), n_levels=3,
+        anti_alias=False,
+    )
+    data = prior.to_dict()
+    # round trip through the registry entry
+    data["type"] = "multiscale-prior"
+    new = Prior.from_dict(data)
+    assert isinstance(new, MultiScalePrior)
+    assert new.n_levels == 3
+    assert isinstance(new.prior, GMMPatchPrior)
+
+
+def test_lira_prior_serialization_roundtrip():
+    from jolideco_tpu.priors import Prior
+
+    prior = LIRAPrior(alphas=[1.0, 2.0], cycle_spin=False)
+    data = prior.to_dict()
+    assert data["type"] == "lira"
+    new = Prior.from_dict(data)
+    assert isinstance(new, LIRAPrior)
+    assert new.alphas == (1.0, 2.0)
+
+
 def test_gmm_reduce_topk():
     gmm = GaussianMixtureModel.from_registry("builtin-8x8-v1")
     reduced = gmm.reduce_to_topk(8)
