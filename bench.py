@@ -152,7 +152,11 @@ def main():
 
     t0 = time.time()
     deco.n_epochs = chunk
-    deco.run(datasets=datasets, components=copy.deepcopy(components))
+    warm = deco.run(datasets=datasets, components=copy.deepcopy(components))
+    # force a real device->host fetch: on remote backends
+    # block_until_ready alone does not drain in-flight work, which
+    # would spill into the timed window
+    np.asarray(warm.components["flux"].flux_upsampled_numpy)
     deco.n_epochs = args.iters
     compile_time = time.time() - t0
     if args.verbose:

@@ -124,6 +124,7 @@ class MAPDeconvolver:
         seed=0,
         device=None,
         mesh=None,
+        conv_mode="fft",
     ):
         self.n_epochs = int(n_epochs)
         self.beta = float(beta)
@@ -135,6 +136,7 @@ class MAPDeconvolver:
         self.seed = int(seed)
         self.device = device
         self.mesh = mesh
+        self.conv_mode = str(conv_mode)
 
         if optimizer_type not in OPTIMIZER:
             raise ValueError(
@@ -203,13 +205,13 @@ class MAPDeconvolver:
             try:
                 poisson = StackedPoissonLoss.from_datasets(
                     datasets=datasets, components=components,
-                    calibrations=calibrations,
+                    calibrations=calibrations, conv_mode=self.conv_mode,
                 )
                 poisson_validation = None
                 if datasets_validation:
                     poisson_validation = StackedPoissonLoss.from_datasets(
                         datasets=datasets_validation, components=components,
-                        calibrations=calibrations,
+                        calibrations=calibrations, conv_mode=self.conv_mode,
                     )
                 if self.mesh is not None:
                     poisson = poisson.shard(self.mesh)

@@ -79,11 +79,16 @@ class StackedPoissonLoss:
     # ------------------------------------------------------------------
     @classmethod
     def from_datasets(cls, datasets, components, calibrations=None,
-                      fft_shape=None):
+                      fft_shape=None, conv_mode="fft"):
         """Stack homogeneous datasets into batched device arrays.
 
         Ragged PSF sizes are padded into one FFT shape; raises if the
         image shapes themselves differ (use the sequential path then).
+
+        ``conv_mode="direct"`` additionally keeps the (flipped, padded)
+        spatial PSF stack and runs the forward through
+        ``lax.conv_general_dilated`` instead of FFTs — faster for small
+        kernels on TPU.
         """
         names = list(datasets)
         shapes = {np.asarray(d["counts"]).shape for d in datasets.values()}
@@ -109,7 +114,7 @@ class StackedPoissonLoss:
             jnp.float32,
         )
 
-        exposures, psf_ffts = {}, {}
+        exposures, psf_ffts, psfs = {}, {}, {}
         component_factors = []
         common_fft_shape = fft_shape
 
@@ -156,6 +161,31 @@ class StackedPoissonLoss:
             exposures[name] = jnp.stack(exp_list)
             psf_ffts[name] = jnp.stack(kfts)
 
+            if conv_mode == "direct":
+                # pad all PSFs to a common odd kernel size, centered,
+                # and flip for true convolution via lax.conv (which
+                # correlates)
+                kmax_h = max(p.shape[-2] for p in psf_list)
+                kmax_w = max(p.shape[-1] for p in psf_list)
+                if kmax_h % 2 == 0:
+                    kmax_h += 1
+                if kmax_w % 2 == 0:
+                    kmax_w += 1
+                padded = []
+                for psf in psf_list:
+                    kh, kw = psf.shape[-2], psf.shape[-1]
+                    # center at (kh-1)//2, matching the FFT path's
+                    # origin convention
+                    top = (kmax_h - 1) // 2 - (kh - 1) // 2
+                    left = (kmax_w - 1) // 2 - (kw - 1) // 2
+                    pad = jnp.zeros(psf.shape[:-2] + (kmax_h, kmax_w),
+                                    psf.dtype)
+                    pad = pad.at[
+                        ..., top : top + kh, left : left + kw
+                    ].set(psf)
+                    padded.append(pad[..., ::-1, ::-1])
+                psfs[name] = jnp.stack(padded)
+
         has_calibration = bool(calibrations)
         weights = None
         psf_scales = None
@@ -174,6 +204,8 @@ class StackedPoissonLoss:
             has_calibration=has_calibration,
             weights=weights,
             psf_scales=psf_scales,
+            psfs=psfs if conv_mode == "direct" else None,
+            conv_mode=conv_mode,
         )
 
     # ------------------------------------------------------------------
@@ -193,7 +225,11 @@ class StackedPoissonLoss:
     def evaluate(self, fluxes, calibration_params=None):
         """Per-observation mean Poisson NLL, vmapped: ``(N,)`` array."""
         exposures = [self.exposures[k] for k in self.exposures]
-        psf_ffts = [self.psf_ffts[k] for k in self.psf_ffts]
+        direct = self.conv_mode == "direct" and self.psfs is not None
+        if direct:
+            kernels = [self.psfs[k] for k in self.psfs]
+        else:
+            kernels = [self.psf_ffts[k] for k in self.psf_ffts]
         factors = self.component_factors
         fft_shape = self.fft_shape
         has_calibration = self.has_calibration
@@ -211,12 +247,21 @@ class StackedPoissonLoss:
             npred = jnp.zeros_like(background)
             for idx, flux in enumerate(fluxes):
                 exposure = obs_arrays[2 * idx]
-                kft = obs_arrays[2 * idx + 1]
+                kernel = obs_arrays[2 * idx + 1]
                 x = flux
                 if has_calibration:
                     x = shift_image(x, shift, scale=factors[idx])
                 x = x * exposure
-                x = convolve_fft_precomputed(x, kft, fft_shape)
+                if direct:
+                    x = jax.lax.conv_general_dilated(
+                        x.reshape((1, 1) + x.shape[-2:]),
+                        kernel.reshape((1, 1) + kernel.shape[-2:]),
+                        window_strides=(1, 1),
+                        padding="SAME",
+                        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                    ).reshape(x.shape)
+                else:
+                    x = convolve_fft_precomputed(x, kernel, fft_shape)
                 x = sum_pool(x, factors[idx])
                 npred = npred + jnp.clip(x, 0.0, None)
             if has_calibration:
@@ -226,8 +271,8 @@ class StackedPoissonLoss:
             return self.loss_function(npred, counts)
 
         obs_arrays = []
-        for exposure, kft in zip(exposures, psf_ffts):
-            obs_arrays.extend([exposure, kft])
+        for exposure, kernel in zip(exposures, kernels):
+            obs_arrays.extend([exposure, kernel])
 
         in_axes = (0, 0, 0, 0) + (0,) * len(obs_arrays)
         return jax.vmap(per_obs, in_axes=in_axes)(
@@ -259,12 +304,13 @@ class StackedPoissonLoss:
 
 register_pytree(
     StackedPoissonLoss,
-    children_attrs=("counts", "background", "exposures", "psf_ffts"),
+    children_attrs=("counts", "background", "exposures", "psf_ffts", "psfs"),
     aux_attrs=(
         "names_all",
         "component_factors",
         "fft_shape",
         "has_calibration",
+        "conv_mode",
         "_weights",
         "psf_scales",
     ),

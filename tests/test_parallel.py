@@ -81,6 +81,50 @@ def test_stacked_ragged_psf_sizes(components):
     )
 
 
+def test_stacked_direct_conv_matches_fft(datasets, components):
+    stacked_fft = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="fft"
+    )
+    stacked_direct = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="direct"
+    )
+    fluxes = components.to_flux_tuple()
+    assert_allclose(
+        np.asarray(stacked_direct.evaluate(fluxes)),
+        np.asarray(stacked_fft.evaluate(fluxes)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # gradients agree too
+    def total(loss, flux):
+        return jnp.sum(loss.evaluate((flux,)))
+
+    g_fft = jax.grad(total, argnums=1)(stacked_fft, fluxes[0])
+    g_direct = jax.grad(total, argnums=1)(stacked_direct, fluxes[0])
+    assert_allclose(np.asarray(g_direct), np.asarray(g_fft), atol=1e-4)
+
+
+def test_stacked_direct_conv_ragged_psfs(components):
+    rs = np.random.RandomState(642020)
+    datasets = {}
+    for idx, shape_psf in enumerate([(17, 17), (11, 11), (14, 14)]):
+        datasets[f"{idx}"] = gauss_and_point_sources_gauss_psf(
+            random_state=rs, shape_psf=shape_psf
+        )
+    stacked_fft = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="fft"
+    )
+    stacked_direct = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="direct"
+    )
+    fluxes = components.to_flux_tuple()
+    assert_allclose(
+        np.asarray(stacked_direct.evaluate(fluxes)),
+        np.asarray(stacked_fft.evaluate(fluxes)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_stacked_heterogeneous_shapes_raises(components):
     rs = np.random.RandomState(0)
     datasets = {
