@@ -99,6 +99,9 @@ def main():
     parser.add_argument("--prior", default="gmm",
                         choices=["gmm", "uniform"],
                         help="diagnostic: swap the prior")
+    parser.add_argument("--conv-mode", default="fft",
+                        choices=["fft", "direct"],
+                        help="PSF convolution implementation")
     args = parser.parse_args()
 
     import jax
@@ -143,6 +146,7 @@ def main():
         scan_chunk=chunk,
         trace_every=0,
         seed=0,
+        conv_mode=args.conv_mode,
     )
 
     # compile warm-up: run one chunk with identical shapes on the same
