@@ -47,11 +47,23 @@ class GaussianMixtureModelMeta:
     """GMM meta data: patch stride and patch normalisation.
 
     ``stride`` drives the trapezoidal overlap down-weighting of pixels
-    in the log-likelihood (reference ``gmm.py:24-61``).
+    in the log-likelihood (reference ``gmm.py:24-61``). Compared and
+    hashed by value — the meta is static jit-cache aux data, and deep
+    copies must not trigger recompilation.
     """
 
     stride: Optional[int] = None
     patch_norm: PatchNorm = field(default_factory=SubtractMeanPatchNorm)
+
+    def __eq__(self, other):
+        return (
+            type(other) is type(self)
+            and other.stride == self.stride
+            and other.patch_norm == self.patch_norm
+        )
+
+    def __hash__(self):
+        return hash((self.stride, self.patch_norm))
 
 
 class GaussianMixtureModel:

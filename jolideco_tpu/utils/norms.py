@@ -40,8 +40,23 @@ __all__ = [
 class PatchNorm(abc.ABC):
     """Patch normalisation base class.
 
-    Operates on ``(n_patches, p*p)`` matrices.
+    Operates on ``(n_patches, p*p)`` matrices. Norm objects are static
+    (jit-cache) configuration, so equality/hashing is by value: two
+    norms of the same class and parameters compile to the same
+    executable (deep copies must not trigger recompilation).
     """
+
+    def _config_key(self):
+        return (type(self).__name__,)
+
+    def __eq__(self, other):
+        return (
+            type(other) is type(self)
+            and other._config_key() == self._config_key()
+        )
+
+    def __hash__(self):
+        return hash(self._config_key())
 
     @abc.abstractmethod
     def __call__(self, patches):
@@ -100,12 +115,32 @@ class ImageNorm:
     ``(1,)`` arrays that can be placed in the training pytree) and every
     transfer function accepts an optional ``params`` override so jitted
     code evaluates the norm functionally.
+
+    Norm objects appear as static aux data of prior pytrees, so
+    equality/hashing is by value (class + parameter values + frozen):
+    deep copies must not invalidate jit caches.
     """
 
     _param_names = ()
 
     def __init__(self, frozen=False):
         self.frozen = frozen
+
+    def _config_key(self):
+        return (
+            type(self).__name__,
+            bool(self.frozen),
+            tuple(float(getattr(self, name)) for name in self._param_names),
+        )
+
+    def __eq__(self, other):
+        return (
+            type(other) is type(self)
+            and other._config_key() == self._config_key()
+        )
+
+    def __hash__(self):
+        return hash(self._config_key())
 
     def parameters(self):
         """Trainable parameters as a dict of jnp arrays."""
@@ -307,6 +342,13 @@ class InverseCDFImageNorm(ImageNorm):
 
         return interp1d(image, self.x, self.cdf)
 
+    def _config_key(self):
+        return (
+            type(self).__name__,
+            np.asarray(self.x).tobytes(),
+            np.asarray(self.cdf).tobytes(),
+        )
+
     def to_dict(self):
         raise NotImplementedError
 
@@ -345,6 +387,9 @@ class PowerImageNorm(ImageNorm):
     def inverse(self, image, params=None):
         alpha = self._get(params, "alpha")
         return self.beta * jnp.power(image, 1.0 / alpha)
+
+    def _config_key(self):
+        return super()._config_key() + (float(self.beta),)
 
     def to_dict(self):
         data = super().to_dict()
