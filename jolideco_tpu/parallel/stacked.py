@@ -87,8 +87,10 @@ class StackedPoissonLoss:
 
         ``conv_mode="direct"`` additionally keeps the (flipped, padded)
         spatial PSF stack and runs the forward through
-        ``lax.conv_general_dilated`` instead of FFTs — faster for small
-        kernels on TPU.
+        ``lax.conv_general_dilated`` instead of FFTs. Measured slower
+        than the FFT path at the benchmark scale (33x33 kernels,
+        1024^2 images: single-channel spatial convs underutilise the
+        MXU) — provided for small-kernel workloads and cross-checking.
         """
         names = list(datasets)
         shapes = {np.asarray(d["counts"]).shape for d in datasets.values()}
