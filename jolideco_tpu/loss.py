@@ -28,24 +28,40 @@ from .utils.table import Table
 __all__ = ["PoissonLoss", "PriorLoss", "TotalLoss", "poisson_nll"]
 
 
-def poisson_nll(npred, counts, eps=1e-25, full=True):
+def stirling_term_mean(counts):
+    """Mean Stirling approximation term of the full Poisson NLL.
+
+    ``mean(counts log counts - counts + 0.5 log(2 pi counts))`` over
+    pixels with ``counts > 1`` (torch's ``PoissonNLLLoss(full=True)``
+    convention). Constant in the model parameters — precompute it once
+    per dataset instead of burning two logs over every pixel every
+    step.
+    """
+    counts = jnp.asarray(counts)
+    stirling = (
+        counts * jnp.log(jnp.maximum(counts, 1.0))
+        - counts
+        + 0.5 * jnp.log(2.0 * jnp.pi * jnp.maximum(counts, 1.0))
+    )
+    return jnp.mean(jnp.where(counts > 1, stirling, 0.0))
+
+
+def poisson_nll(npred, counts, eps=1e-25, full=True, stirling=None):
     """Mean Poisson negative log-likelihood.
 
     Matches ``torch.nn.PoissonNLLLoss(log_input=False, reduction="mean",
     eps=1e-25, full=True)`` (reference ``loss.py:35-37``):
     ``npred - counts * log(npred + eps)`` plus, where ``counts > 1``,
     the Stirling term ``counts log counts - counts + 0.5 log(2 pi
-    counts)``.
+    counts)``. Pass a precomputed ``stirling`` mean (see
+    :func:`stirling_term_mean`) to skip recomputing the constant.
     """
-    loss = npred - counts * jnp.log(npred + eps)
+    loss = jnp.mean(npred - counts * jnp.log(npred + eps))
     if full:
-        stirling = (
-            counts * jnp.log(jnp.maximum(counts, 1.0))
-            - counts
-            + 0.5 * jnp.log(2.0 * jnp.pi * jnp.maximum(counts, 1.0))
-        )
-        loss = loss + jnp.where(counts > 1, stirling, 0.0)
-    return jnp.mean(loss)
+        if stirling is None:
+            stirling = stirling_term_mean(counts)
+        loss = loss + stirling
+    return loss
 
 
 class PoissonLoss:
@@ -66,6 +82,10 @@ class PoissonLoss:
         self.counts_all = tuple(jnp.asarray(c, jnp.float32) for c in counts_all)
         self.npred_models_all = tuple(npred_models_all)
         self.names_all = tuple(names_all)
+        # the Stirling term of the full NLL is parameter-independent
+        self.stirling_all = tuple(
+            stirling_term_mean(c) for c in self.counts_all
+        )
 
     loss_function = staticmethod(poisson_nll)
 
@@ -99,7 +119,9 @@ class PoissonLoss:
         npred = npred_models.evaluate(
             fluxes=fluxes, calibration_params=calib_params
         )
-        return self.loss_function(npred, self.counts_all[idx])
+        return self.loss_function(
+            npred, self.counts_all[idx], stirling=self.stirling_all[idx]
+        )
 
     def evaluate(self, fluxes, calibration_params=None):
         """Per-dataset losses as a stacked array (differentiable)."""
@@ -139,7 +161,7 @@ class PoissonLoss:
 
 register_pytree(
     PoissonLoss,
-    children_attrs=("counts_all", "npred_models_all"),
+    children_attrs=("counts_all", "npred_models_all", "stirling_all"),
     aux_attrs=("names_all",),
 )
 

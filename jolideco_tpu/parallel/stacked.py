@@ -56,6 +56,10 @@ class StackedPoissonLoss:
         self.exposures = dict(exposures)
         self.psf_ffts = dict(psf_ffts)
         self.psfs = dict(psfs) if psfs is not None else None
+        # parameter-independent Stirling constant, per observation
+        from ..loss import stirling_term_mean
+
+        self.stirling = jax.vmap(stirling_term_mean)(counts)
         self.names_all = tuple(names_all)
         self.component_factors = tuple(component_factors)
         self.fft_shape = tuple(fft_shape)
@@ -245,7 +249,8 @@ class StackedPoissonLoss:
             shifts = jnp.zeros((n, 1, 2), jnp.float32)
             log_norms = jnp.zeros((n, 1), jnp.float32)
 
-        def per_obs(counts, background, shift, log_norm, *obs_arrays):
+        def per_obs(counts, background, shift, log_norm, stirling,
+                    *obs_arrays):
             npred = jnp.zeros_like(background)
             for idx, flux in enumerate(fluxes):
                 exposure = obs_arrays[2 * idx]
@@ -270,15 +275,16 @@ class StackedPoissonLoss:
                 npred = npred + background * jnp.exp(log_norm)
             else:
                 npred = npred + background
-            return self.loss_function(npred, counts)
+            return self.loss_function(npred, counts, stirling=stirling)
 
         obs_arrays = []
         for exposure, kernel in zip(exposures, kernels):
             obs_arrays.extend([exposure, kernel])
 
-        in_axes = (0, 0, 0, 0) + (0,) * len(obs_arrays)
+        in_axes = (0, 0, 0, 0, 0) + (0,) * len(obs_arrays)
         return jax.vmap(per_obs, in_axes=in_axes)(
-            self.counts, self.background, shifts, log_norms, *obs_arrays
+            self.counts, self.background, shifts, log_norms, self.stirling,
+            *obs_arrays
         )
 
     def __call__(self, fluxes, calibration_params=None):
@@ -306,7 +312,8 @@ class StackedPoissonLoss:
 
 register_pytree(
     StackedPoissonLoss,
-    children_attrs=("counts", "background", "exposures", "psf_ffts", "psfs"),
+    children_attrs=("counts", "background", "exposures", "psf_ffts", "psfs",
+                    "stirling"),
     aux_attrs=(
         "names_all",
         "component_factors",
