@@ -44,7 +44,7 @@ __all__ = [
     "KB",
 ]
 
-TILE_N = 256
+TILE_N = 1024  # tile-size sweep on v5e: 1024 > 512 > 256
 KB = 8  # components per inner block; KB * d = 512 lanes per matmul
 
 
