@@ -243,7 +243,10 @@ def _bwd(interpret, precision, marginalize, residuals, cotangents):
         # d logit_{k*} / dx = -(x A_{k*} - b_{k*}).  The elementwise
         # broadcast-reduce keeps this on the VPU (bandwidth-bound on
         # the ~N*d*d gather) instead of N tiny batched MXU matmuls.
-        a_g = jnp.take(packed["a_quad"], argmax, axis=0)   # (N, d, d)
+        d = patches.shape[1]
+        a_g = jnp.take(
+            packed["a_quad"].reshape(-1, d * d), argmax, axis=0
+        ).reshape(-1, d, d)                                # (N, d, d)
         b_g = jnp.take(packed["b_quad"], argmax, axis=0)   # (N, d)
         xa = jnp.sum(patches[:, :, None] * a_g, axis=1)    # (N, d)
         dx = -(xa - b_g) * g_values[:, None]

@@ -260,7 +260,13 @@ def _score_bwd(marginalize, precision, residuals, cotangents):
             "ke,e,kje->kj", means_prec, pixel_weights, prec_chol,
             precision=precision,
         )
-        a_g = jnp.take(a_quad, argmax, axis=0)            # (N, d, d)
+        # flat-row gather lowers faster than 3-D take on TPU (the
+        # gathered block is ~N*d*d floats either way, but the 2-D form
+        # streams at higher bandwidth)
+        d = patches.shape[1]
+        a_g = jnp.take(
+            a_quad.reshape(-1, d * d), argmax, axis=0
+        ).reshape(-1, d, d)                               # (N, d, d)
         b_g = jnp.take(b_quad, argmax, axis=0)            # (N, d)
         xa = jnp.sum(patches[:, :, None] * a_g, axis=1)   # (N, d)
         dx = -(xa - b_g) * g_values[:, None]
