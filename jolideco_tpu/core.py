@@ -463,6 +463,25 @@ class MAPDeconvolver:
         if self.stop_early and datasets_validation is None:
             raise ValueError("Early stopping requires providing test datasets")
 
+        if self.device is not None:
+            # place the whole run on a requested platform/device
+            # (replaces the reference's torch `.to(device)` moves)
+            device = self.device
+            if isinstance(device, str):
+                device = jax.devices(device)[0]
+            with jax.default_device(device):
+                saved, self.device = self.device, None
+                try:
+                    return self.run(
+                        datasets,
+                        datasets_validation=datasets_validation,
+                        components=components,
+                        calibrations=calibrations,
+                        resume_from=resume_from,
+                    )
+                finally:
+                    self.device = saved
+
         if isinstance(components, (SpatialFluxComponent,
                                    SparseSpatialFluxComponent)):
             components = {self._default_flux_component: components}
