@@ -45,11 +45,14 @@ def main():
         print(f"{label}: {per*1e3:7.2f} ms  [{value:.3e}]", flush=True)
 
     for s in [1056, 1080, 1120, 1152, 1200, 1280, 1296, 1440, 1600, 2048]:
-        kft = jnp.asarray(
-            (rs.rand(10, 1, 1, s, s // 2 + 1)
-             + 1j * rs.rand(10, 1, 1, s, s // 2 + 1)).astype(np.complex64)
-            * 1e-6
+        # build the complex kernel FFT on-device (complex h2d transfers
+        # are unimplemented on the tunnel backend)
+        kernel = jnp.asarray(
+            rs.rand(10, 1, 1, 33, 33).astype(np.float32) * 1e-3
         )
+        kft = jax.jit(
+            lambda k, s=s: jnp.fft.rfft2(k, s=(s, s))
+        )(kernel)
 
         @jax.jit
         def conv(x, kft, s=s):
