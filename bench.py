@@ -100,7 +100,7 @@ def main():
                         choices=["gmm", "uniform"],
                         help="diagnostic: swap the prior")
     parser.add_argument("--conv-mode", default="fft",
-                        choices=["fft", "direct"],
+                        choices=["fft", "direct", "mxu"],
                         help="PSF convolution implementation")
     args = parser.parse_args()
 

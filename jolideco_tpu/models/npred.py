@@ -62,13 +62,14 @@ class NPredModel:
         self.upsampling_factor = upsampling_factor
 
         if self.psf is not None:
-            from ..ops.fft import good_fft_size
-
+            # minimal linear-convolution shape: measured fastest for
+            # XLA's TPU FFT (smoothness-based padding is
+            # counterproductive there — see scripts/tpu_fft_sweep2.py)
             image_shape = self.exposure.shape[-2:]
             if fft_shape is None:
                 fft_shape = (
-                    good_fft_size(image_shape[0] + self.psf.shape[-2] - 1),
-                    good_fft_size(image_shape[1] + self.psf.shape[-1] - 1),
+                    image_shape[0] + self.psf.shape[-2] - 1,
+                    image_shape[1] + self.psf.shape[-1] - 1,
                 )
             self.psf_fft = kernel_fft(self.psf, image_shape, fft_shape)
         else:

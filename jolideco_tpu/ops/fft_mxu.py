@@ -1,0 +1,251 @@
+"""MXU-native convolution: 4-step (Cooley-Tukey) DFT via matmuls.
+
+XLA's TPU FFT runs at a few GFLOP/s — a 10-observation batch of 1080^2
+real-FFT convolutions costs ~13 ms per direction at benchmark scale.
+The MXU runs large matmuls 3 orders of magnitude faster, so a DFT
+factored into two matmul stages per axis (N = N1*N2):
+
+    A[k1, n2] = sum_n1 F1[k1, n1] x[n1, n2]        (matmul over N1)
+    B[k1, n2] = A[k1, n2] * w[k1, n2]              (twiddles)
+    X[k1, k2] = sum_n2 B[k1, n2] F2[n2, k2]        (matmul over N2)
+
+beats the FFT even though it does ~N(N1+N2)/(N log N) times more
+arithmetic. The output layout is (k1, k2) — a *permutation* of the true
+frequency order. For convolution that is irrelevant: the kernel
+transform is computed with the same permuted transform, pointwise
+multiplication acts frequency-wise in the permuted basis, and the
+inverse transform (conjugate matrices, same layout) undoes it —
+permutations cancel, no bit reversal anywhere.
+
+Used by ``conv_mode="mxu"`` of the stacked loss. Precision: float32
+matmuls at HIGHEST keep ~1e-6 relative accuracy — well within the
+1e-4 parity budget.
+"""
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "DFTConvPlan",
+    "mxu_conv_shape",
+    "make_dft_tables",
+    "mxu_dft2",
+    "mxu_idft2",
+    "mxu_kernel_spectrum",
+    "mxu_convolve",
+]
+
+
+def _split_size(n):
+    """Pick N1*N2 = n with N1, N2 as close as possible."""
+    best = None
+    for n1 in range(int(np.sqrt(n)), 0, -1):
+        if n % n1 == 0:
+            best = (n1, n // n1)
+            break
+    return best
+
+
+def mxu_conv_shape(min_size):
+    """Smallest balanced-factor size >= min_size for the matmul DFT.
+
+    Prefers sizes whose two factors are nearly equal (matmul cost is
+    N*(N1+N2) per axis).
+    """
+    best = None
+    for n in range(int(min_size), int(min_size) + 64):
+        n1, n2 = _split_size(n)
+        if n2 / n1 > 1.5:
+            continue
+        cost = n * (n1 + n2)
+        if best is None or cost < best[0]:
+            best = (cost, n)
+    return best[1] if best else int(min_size)
+
+
+@lru_cache(maxsize=32)
+def _axis_tables(n):
+    """Host-side DFT matrices + twiddles for one axis of size n."""
+    n1, n2 = _split_size(n)
+    w = np.exp(-2j * np.pi / n)
+
+    f1 = np.exp(
+        -2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1
+    )
+    f2 = np.exp(
+        -2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2
+    )
+    tw = w ** np.outer(np.arange(n1), np.arange(n2))
+
+    return {
+        "n1": n1,
+        "n2": n2,
+        "f1": f1.astype(np.complex64),
+        "f2": f2.astype(np.complex64),
+        "tw": tw.astype(np.complex64),
+        "f1i": np.conj(f1).astype(np.complex64) / n1,
+        "f2i": np.conj(f2).astype(np.complex64) / n2,
+        "twi": np.conj(tw).astype(np.complex64),
+    }
+
+
+def _dft_last(x, tables, precision):
+    """Permuted forward DFT along the last axis.
+
+    Input in natural order ``n = N2 n1 + n2``; output in the permuted
+    ``(k1, k2)`` layout (true frequency ``k = N1 k2 + k1``)::
+
+        A[k1, n2] = sum_n1 F1[k1, n1] x[n1, n2]
+        B[k1, n2] = A[k1, n2] * w^(k1 n2)
+        X[k1, k2] = sum_n2 B[k1, n2] F2[n2, k2]
+    """
+    n1, n2 = tables["n1"], tables["n2"]
+    f1 = jnp.asarray(tables["f1"])
+    f2 = jnp.asarray(tables["f2"])
+    tw = jnp.asarray(tables["tw"])
+
+    lead = x.shape[:-1]
+    x = x.reshape(lead + (n1, n2))
+    a = jnp.einsum("...nt,kn->...kt", x, f1, precision=precision)
+    a = a * tw
+    out = jnp.einsum("...kt,tj->...kj", a, f2, precision=precision)
+    return out.reshape(lead + (n1 * n2,))
+
+
+def _idft_last(x, tables, precision):
+    """Inverse of :func:`_dft_last`: consumes the permuted ``(k1, k2)``
+    layout and returns natural order. Stage order reverses::
+
+        A[k1, n2] = sum_k2 X[k1, k2] F2i[k2, n2]
+        B[k1, n2] = A[k1, n2] * conj(w)^(k1 n2)
+        x[n1, n2] = sum_k1 F1i[n1, k1] B[k1, n2]
+    """
+    n1, n2 = tables["n1"], tables["n2"]
+    f1i = jnp.asarray(tables["f1i"])
+    f2i = jnp.asarray(tables["f2i"])
+    twi = jnp.asarray(tables["twi"])
+
+    lead = x.shape[:-1]
+    x = x.reshape(lead + (n1, n2))
+    a = jnp.einsum("...kj,jt->...kt", x, f2i.T, precision=precision)
+    a = a * twi
+    out = jnp.einsum("...kt,nk->...nt", a, f1i, precision=precision)
+    return out.reshape(lead + (n1 * n2,))
+
+
+def make_dft_tables(fft_shape):
+    """Flat dict of device arrays with the per-axis DFT matrices.
+
+    The dict is a plain pytree — store it as children of model objects
+    so jitted code receives the tables as traced arguments.
+    """
+    rows = _axis_tables(int(fft_shape[0]))
+    cols = _axis_tables(int(fft_shape[1]))
+    out = {}
+    for prefix, tab in (("rows", rows), ("cols", cols)):
+        for key in ("f1", "f2", "tw", "f1i", "f2i", "twi"):
+            out[f"{prefix}_{key}"] = jnp.asarray(tab[key])
+    return out
+
+
+def _axis_view(tables, prefix):
+    return {
+        "n1": tables[f"{prefix}_f1"].shape[0],
+        "n2": tables[f"{prefix}_f2"].shape[0],
+        "f1": tables[f"{prefix}_f1"],
+        "f2": tables[f"{prefix}_f2"],
+        "tw": tables[f"{prefix}_tw"],
+        "f1i": tables[f"{prefix}_f1i"],
+        "f2i": tables[f"{prefix}_f2i"],
+        "twi": tables[f"{prefix}_twi"],
+    }
+
+
+def mxu_dft2(x, tables, precision=lax.Precision.HIGHEST):
+    """Permuted 2-D DFT (complex in, complex out)."""
+    x = _dft_last(x, _axis_view(tables, "cols"), precision)
+    x = jnp.swapaxes(x, -1, -2)
+    x = _dft_last(x, _axis_view(tables, "rows"), precision)
+    return jnp.swapaxes(x, -1, -2)
+
+
+def mxu_idft2(x, tables, precision=lax.Precision.HIGHEST):
+    """Inverse of :func:`mxu_dft2`."""
+    x = _idft_last(x, _axis_view(tables, "cols"), precision)
+    x = jnp.swapaxes(x, -1, -2)
+    x = _idft_last(x, _axis_view(tables, "rows"), precision)
+    return jnp.swapaxes(x, -1, -2)
+
+
+def mxu_kernel_spectrum(kernel, fft_shape, tables,
+                        precision=lax.Precision.HIGHEST):
+    """Permuted spectrum of an origin-centered embedded kernel."""
+    kh, kw = kernel.shape[-2], kernel.shape[-1]
+    pad = [(0, 0)] * (kernel.ndim - 2) + [
+        (0, int(fft_shape[0]) - kh),
+        (0, int(fft_shape[1]) - kw),
+    ]
+    embedded = jnp.pad(kernel, pad)
+    embedded = jnp.roll(
+        embedded, shift=(-((kh - 1) // 2), -((kw - 1) // 2)), axis=(-2, -1)
+    )
+    return mxu_dft2(embedded.astype(jnp.complex64), tables, precision)
+
+
+def mxu_convolve(image, kernel_spectrum, tables, fft_shape,
+                 precision=lax.Precision.HIGHEST):
+    """2-D linear convolution via the matmul DFT (real in, real out)."""
+    h, w = image.shape[-2], image.shape[-1]
+    pad = [(0, 0)] * (image.ndim - 2) + [
+        (0, int(fft_shape[0]) - h),
+        (0, int(fft_shape[1]) - w),
+    ]
+    x = jnp.pad(image, pad).astype(jnp.complex64)
+    spec = mxu_dft2(x, tables, precision)
+    out = mxu_idft2(spec * kernel_spectrum, tables, precision)
+    return out.real[..., :h, :w].astype(image.dtype)
+
+
+class DFTConvPlan:
+    """2-D convolution plan with precomputed permuted kernel spectra.
+
+    Parameters
+    ----------
+    image_shape : (H, W)
+    kernel : array ``(..., kh, kw)``
+        Spatial kernel(s); embedded origin-centered like
+        ``ops.fft.kernel_fft``.
+    fft_shape : (sh, sw), optional
+        Transform size; defaults to balanced-factor sizes covering
+        linear convolution.
+    """
+
+    def __init__(self, image_shape, kernel, fft_shape=None,
+                 precision=lax.Precision.HIGHEST):
+        kh, kw = kernel.shape[-2], kernel.shape[-1]
+        h, w = image_shape
+        if fft_shape is None:
+            fft_shape = (
+                mxu_conv_shape(h + kh - 1),
+                mxu_conv_shape(w + kw - 1),
+            )
+        self.fft_shape = tuple(int(s) for s in fft_shape)
+        self.image_shape = (int(h), int(w))
+        self.precision = precision
+        self.tables = make_dft_tables(self.fft_shape)
+        self.kernel_spectrum = mxu_kernel_spectrum(
+            kernel, self.fft_shape, self.tables, precision
+        )
+
+    def convolve(self, image, kernel_spectrum=None):
+        """Convolve ``(..., H, W)`` with the planned kernel."""
+        if kernel_spectrum is None:
+            kernel_spectrum = self.kernel_spectrum
+        return mxu_convolve(
+            image, kernel_spectrum, self.tables, self.fft_shape,
+            self.precision,
+        )

@@ -50,12 +50,17 @@ class StackedPoissonLoss:
 
     def __init__(self, counts, background, exposures, psf_ffts, names_all,
                  component_factors, fft_shape, has_calibration=False,
-                 weights=None, psf_scales=None, psfs=None, conv_mode="fft"):
+                 weights=None, psf_scales=None, psfs=None, conv_mode="fft",
+                 dft_tables=None, mxu_fft_shape=None):
         self.counts = counts
         self.background = background
         self.exposures = dict(exposures)
         self.psf_ffts = dict(psf_ffts)
         self.psfs = dict(psfs) if psfs is not None else None
+        self.dft_tables = dft_tables
+        self.mxu_fft_shape = (
+            tuple(mxu_fft_shape) if mxu_fft_shape is not None else None
+        )
         # parameter-independent Stirling constant, per observation
         from ..loss import stirling_term_mean
 
@@ -123,6 +128,7 @@ class StackedPoissonLoss:
         exposures, psf_ffts, psfs = {}, {}, {}
         component_factors = []
         common_fft_shape = fft_shape
+        mxu_tables, mxu_shape_common = None, None
 
         for name, component in components.items():
             factor = component.upsampling_factor or 1
@@ -151,13 +157,11 @@ class StackedPoissonLoss:
 
             image_shape = exp_list[0].shape[-2:]
             if common_fft_shape is None:
-                from ..ops.fft import good_fft_size
-
                 kmax_h = max(p.shape[-2] for p in psf_list)
                 kmax_w = max(p.shape[-1] for p in psf_list)
                 common_fft_shape = (
-                    good_fft_size(image_shape[0] + kmax_h - 1),
-                    good_fft_size(image_shape[1] + kmax_w - 1),
+                    image_shape[0] + kmax_h - 1,
+                    image_shape[1] + kmax_w - 1,
                 )
 
             kfts = [
@@ -166,6 +170,35 @@ class StackedPoissonLoss:
             ]
             exposures[name] = jnp.stack(exp_list)
             psf_ffts[name] = jnp.stack(kfts)
+
+            if conv_mode == "mxu":
+                # permuted matmul-DFT spectra at a balanced-factor shape
+                from ..ops.fft_mxu import (
+                    make_dft_tables,
+                    mxu_conv_shape,
+                    mxu_kernel_spectrum,
+                )
+
+                kmax_h = max(p.shape[-2] for p in psf_list)
+                kmax_w = max(p.shape[-1] for p in psf_list)
+                mxu_shape = (
+                    mxu_conv_shape(image_shape[0] + kmax_h - 1),
+                    mxu_conv_shape(image_shape[1] + kmax_w - 1),
+                )
+                if mxu_shape_common is None:
+                    mxu_shape_common = mxu_shape
+                    mxu_tables = make_dft_tables(mxu_shape)
+                elif mxu_shape != mxu_shape_common:
+                    raise ValueError(
+                        "conv_mode='mxu' needs one common transform "
+                        f"shape across components, got {mxu_shape} vs "
+                        f"{mxu_shape_common}"
+                    )
+                specs = [
+                    mxu_kernel_spectrum(psf, mxu_shape_common, mxu_tables)
+                    for psf in psf_list
+                ]
+                psfs[name] = jnp.stack(specs)
 
             if conv_mode == "direct":
                 # pad all PSFs to a common odd kernel size, centered,
@@ -210,8 +243,10 @@ class StackedPoissonLoss:
             has_calibration=has_calibration,
             weights=weights,
             psf_scales=psf_scales,
-            psfs=psfs if conv_mode == "direct" else None,
+            psfs=psfs if conv_mode in ("direct", "mxu") else None,
             conv_mode=conv_mode,
+            dft_tables=mxu_tables,
+            mxu_fft_shape=mxu_shape_common,
         )
 
     # ------------------------------------------------------------------
@@ -232,12 +267,15 @@ class StackedPoissonLoss:
         """Per-observation mean Poisson NLL, vmapped: ``(N,)`` array."""
         exposures = [self.exposures[k] for k in self.exposures]
         direct = self.conv_mode == "direct" and self.psfs is not None
-        if direct:
+        mxu = self.conv_mode == "mxu" and self.psfs is not None
+        if direct or mxu:
             kernels = [self.psfs[k] for k in self.psfs]
         else:
             kernels = [self.psf_ffts[k] for k in self.psf_ffts]
         factors = self.component_factors
         fft_shape = self.fft_shape
+        mxu_fft_shape = self.mxu_fft_shape
+        dft_tables = self.dft_tables
         has_calibration = self.has_calibration
 
         if has_calibration:
@@ -267,6 +305,10 @@ class StackedPoissonLoss:
                         padding="SAME",
                         dimension_numbers=("NCHW", "OIHW", "NCHW"),
                     ).reshape(x.shape)
+                elif mxu:
+                    from ..ops.fft_mxu import mxu_convolve
+
+                    x = mxu_convolve(x, kernel, dft_tables, mxu_fft_shape)
                 else:
                     x = convolve_fft_precomputed(x, kernel, fft_shape)
                 x = sum_pool(x, factors[idx])
@@ -299,25 +341,37 @@ class StackedPoissonLoss:
 
     # ------------------------------------------------------------------
     def shard(self, mesh):
-        """Return a copy with all stacked arrays sharded over ``mesh``.
+        """Return a copy with the stacked arrays sharded over ``mesh``.
 
-        The ``obs`` mesh axis shards the leading axis of every array;
-        XLA partitions the vmapped evaluation accordingly and emits the
-        loss/gradient reductions as ICI collectives.
+        The ``obs`` mesh axis shards the leading axis of every
+        per-observation array (DFT tables replicate); XLA partitions
+        the vmapped evaluation accordingly and emits the loss/gradient
+        reductions as ICI collectives.
         """
-        from .mesh import shard_stacked
+        import copy as _copy
 
-        return shard_stacked(self, mesh)
+        from .mesh import replicate, shard_stacked
+
+        new = _copy.copy(self)
+        for attr in ("counts", "background", "exposures", "psf_ffts",
+                     "psfs", "stirling"):
+            value = getattr(self, attr)
+            if value is not None:
+                setattr(new, attr, shard_stacked(value, mesh))
+        if self.dft_tables is not None:
+            new.dft_tables = replicate(self.dft_tables, mesh)
+        return new
 
 
 register_pytree(
     StackedPoissonLoss,
     children_attrs=("counts", "background", "exposures", "psf_ffts", "psfs",
-                    "stirling"),
+                    "stirling", "dft_tables"),
     aux_attrs=(
         "names_all",
         "component_factors",
         "fft_shape",
+        "mxu_fft_shape",
         "has_calibration",
         "conv_mode",
         "_weights",

@@ -125,6 +125,37 @@ def test_stacked_direct_conv_ragged_psfs(components):
     )
 
 
+def test_stacked_mxu_conv_matches_fft(datasets, components):
+    stacked_fft = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="fft"
+    )
+    stacked_mxu = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="mxu"
+    )
+    fluxes = components.to_flux_tuple()
+    assert_allclose(
+        np.asarray(stacked_mxu.evaluate(fluxes)),
+        np.asarray(stacked_fft.evaluate(fluxes)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    def total(loss, flux):
+        return jnp.sum(loss.evaluate((flux,)))
+
+    g_fft = jax.grad(total, argnums=1)(stacked_fft, fluxes[0])
+    g_mxu = jax.grad(total, argnums=1)(stacked_mxu, fluxes[0])
+    assert_allclose(np.asarray(g_mxu), np.asarray(g_fft), atol=1e-4)
+
+    # sharded evaluation with replicated DFT tables
+    mesh = make_obs_mesh()
+    sharded = stacked_mxu.shard(mesh)
+    assert_allclose(
+        np.asarray(jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes)),
+        np.asarray(stacked_fft.evaluate(fluxes)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_stacked_heterogeneous_shapes_raises(components):
     rs = np.random.RandomState(0)
     datasets = {
