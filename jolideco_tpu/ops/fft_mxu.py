@@ -137,6 +137,17 @@ def _idft_last(x, tables, precision):
     return out.reshape(lead + (n1 * n2,))
 
 
+def _to_device_complex(array):
+    """Host complex -> device complex via two float32 transfers.
+
+    Some remote TPU backends do not implement complex host-to-device
+    transfers; combining real/imag parts on device side-steps that.
+    """
+    real = jnp.asarray(np.ascontiguousarray(array.real, np.float32))
+    imag = jnp.asarray(np.ascontiguousarray(array.imag, np.float32))
+    return lax.complex(real, imag)
+
+
 def make_dft_tables(fft_shape):
     """Flat dict of device arrays with the per-axis DFT matrices.
 
@@ -148,7 +159,7 @@ def make_dft_tables(fft_shape):
     out = {}
     for prefix, tab in (("rows", rows), ("cols", cols)):
         for key in ("f1", "f2", "tw", "f1i", "f2i", "twi"):
-            out[f"{prefix}_{key}"] = jnp.asarray(tab[key])
+            out[f"{prefix}_{key}"] = _to_device_complex(tab[key])
     return out
 
 
