@@ -133,12 +133,14 @@ def convolve_fft(image, kernel):
 
 
 def good_fft_size(n):
-    """Next 5-smooth size >= n (fast for XLA's FFT).
+    """Next 5-smooth size >= n.
 
-    FFT cost explodes for sizes with large prime factors (e.g.
-    1024 + 33 - 1 = 1056 = 2^5*3*11); padding the linear-convolution
-    shape to the next 2^a*3^b*5^c size keeps XLA's FFT on fast radix
-    paths. Linear convolution is unchanged by extra zero padding.
+    NOTE: measured on TPU v5e, XLA's FFT cost does NOT follow prime
+    smoothness (the minimal 1056 = 2^5*3*11 beat every smooth padding,
+    and 2048 was slowest — see ``scripts/tpu_fft_sweep2.py``), so the
+    library uses minimal linear-convolution shapes and this helper is
+    only provided for experimentation. For the genuinely fast path use
+    the MXU matmul DFT (``ops.fft_mxu``).
     """
     n = int(n)
     if n <= 2:
