@@ -15,6 +15,7 @@ from .gmm_score import GMMArrays, gmm_log_prob_matrix, gmm_score  # noqa: F401
 from .image import (  # noqa: F401
     avg_pool,
     cycle_spin,
+    cycle_spin_interp,
     cycle_spin_subpixel,
     grid_weights,
     interp1d,

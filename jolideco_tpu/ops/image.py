@@ -187,6 +187,30 @@ def cycle_spin(key, image, patch_shape):
     return jnp.roll(image, shift=(shift_y, shift_x), axis=(-2, -1)), shifts
 
 
+def cycle_spin_interp(key, image, patch_shape, scale=1.0):
+    """Continuous (interpolated) cycle spin.
+
+    Equivalent of the reference's ``cycle_spin_interp``
+    (``utils/torch.py:63-88``): uniform real-valued shifts of up to
+    ``patch // 4`` pixels per axis applied with the bilinear
+    ``shift_image`` warp.
+
+    Returns
+    -------
+    image : array
+        Shifted image.
+    shifts : array ``(2,)``
+        The drawn ``(shift_x, shift_y)`` scaled by ``scale``.
+    """
+    x_max, y_max = patch_shape
+    x_width, y_width = x_max // 4, y_max // 4
+    kx, ky = jax.random.split(key)
+    shift_x = jax.random.uniform(kx, (), minval=-x_width, maxval=x_width)
+    shift_y = jax.random.uniform(ky, (), minval=-y_width, maxval=y_width)
+    shifts = scale * jnp.stack([shift_x, shift_y])
+    return shift_image(image, shifts, scale=1.0), shifts
+
+
 def cycle_spin_subpixel(key, image):
     """Random subpixel shift via a 3x3 bilinear kernel convolution.
 

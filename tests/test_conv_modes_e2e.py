@@ -1,0 +1,79 @@
+"""End-to-end equivalence of the three convolution modes + misc ops."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+import jax.numpy as jnp
+
+from jolideco_tpu import (
+    FluxComponents,
+    MAPDeconvolver,
+    SpatialFluxComponent,
+    UniformPrior,
+)
+from jolideco_tpu.data import gauss_and_point_sources_gauss_psf
+
+
+@pytest.fixture(scope="module")
+def datasets():
+    rs = np.random.RandomState(642020)
+    return {
+        f"{idx}": gauss_and_point_sources_gauss_psf(random_state=rs)
+        for idx in range(4)
+    }
+
+
+def build_components():
+    rs = np.random.RandomState(642020)
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=rs.gamma(20, size=(32, 32)), prior=UniformPrior()
+    )
+    return components
+
+
+@pytest.mark.parametrize("conv_mode", ["direct", "mxu"])
+def test_joint_training_conv_modes_match_fft(datasets, conv_mode):
+    results = {}
+    for mode in ("fft", conv_mode):
+        deco = MAPDeconvolver(
+            n_epochs=20, learning_rate=0.1, display_progress=False,
+            update_strategy="joint", conv_mode=mode,
+        )
+        results[mode] = deco.run(
+            datasets=datasets, components=build_components()
+        )
+    assert_allclose(
+        results[conv_mode].flux_total, results["fft"].flux_total, rtol=2e-4,
+        atol=1e-5,
+    )
+
+
+def test_cycle_spin_interp():
+    from jolideco_tpu.ops import cycle_spin_interp
+
+    rs = np.random.RandomState(0)
+    image = jnp.asarray(rs.rand(1, 1, 16, 16).astype(np.float32))
+    shifted, shifts = cycle_spin_interp(
+        jax.random.PRNGKey(0), image, patch_shape=(8, 8)
+    )
+    assert shifted.shape == image.shape
+    assert np.abs(np.asarray(shifts)).max() <= 2.0
+    # total intensity approximately conserved away from borders
+    assert_allclose(
+        float(shifted.sum()), float(image.sum()), rtol=0.25
+    )
+
+
+def test_mxu_dft_roundtrip():
+    from jolideco_tpu.ops.fft_mxu import make_dft_tables, mxu_dft2, mxu_idft2
+
+    rs = np.random.RandomState(1)
+    tables = make_dft_tables((24, 36))
+    x = jnp.asarray(
+        rs.rand(2, 24, 36).astype(np.float32)
+    ).astype(jnp.complex64)
+    back = mxu_idft2(mxu_dft2(x, tables), tables)
+    assert_allclose(np.asarray(back.real), np.asarray(x.real), atol=1e-5)
