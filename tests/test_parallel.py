@@ -246,6 +246,30 @@ def test_joint_training_sharded_matches_unsharded(datasets):
     )
 
 
+def test_spatial_sharding_matches_single_device(datasets, components):
+    """2-D (obs x row) mesh: image-axis sharding with the matmul-DFT
+    convolution (the FFT op rejects resharded layouts — see
+    parallel/spatial.py)."""
+    from jolideco_tpu.parallel import make_obs_row_mesh, shard_stacked_spatial
+
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="mxu"
+    )
+    fluxes = components.to_flux_tuple()
+    expected = np.asarray(stacked.evaluate(fluxes))
+
+    mesh = make_obs_row_mesh(2, 4)
+    sharded = shard_stacked_spatial(stacked, mesh)
+    got = np.asarray(jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes))
+    assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+    g1 = jax.grad(lambda f: jnp.sum(stacked.evaluate((f,))))(fluxes[0])
+    g2 = jax.jit(
+        jax.grad(lambda f, s=sharded: jnp.sum(s.evaluate((f,))))
+    )(fluxes[0])
+    assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-6)
+
+
 def test_joint_training_with_gmm_sharded(datasets):
     """Full pipeline: GMM patch prior + sharded joint updates."""
     from jolideco_tpu.priors import GMMPatchPrior, GaussianMixtureModel
