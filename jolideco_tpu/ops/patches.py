@@ -55,15 +55,83 @@ def extract_patches_at(image, idy, idx, shape):
     return patches.reshape((-1, ph * pw))
 
 
+from functools import partial
+
+import jax
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _patches_blocked(image_2d, shape, stride):
+    """Patch extraction via static block slices (stride | patch, H, W).
+
+    Both directions are a handful of static-slice adds/stacks — no
+    gather and no convolution transpose. The overlap-add backward of
+    the conv formulation measured ~9 ms at benchmark scale; this one is
+    bandwidth-bound on a few passes over the image.
+    """
+    return _patches_blocked_fwd_impl(image_2d, shape, stride)
+
+
+def _patches_blocked_fwd_impl(image_2d, shape, stride):
+    p, s = shape[0], stride
+    q = p // s
+    h, w = image_2d.shape
+    nb_h, nb_w = h // s, w // s
+    n_i, n_j = nb_h - q + 1, nb_w - q + 1
+
+    blocks = image_2d.reshape(nb_h, s, nb_w, s)
+    pieces = []
+    for bi in range(q):
+        row = []
+        for bj in range(q):
+            row.append(blocks[bi : bi + n_i, :, bj : bj + n_j, :])
+        pieces.append(jnp.stack(row, axis=0))
+    # (q_i, q_j, n_i, s, n_j, s) -> (n_i, n_j, q_i, s, q_j, s)
+    stacked = jnp.stack(pieces, axis=0)
+    patches = jnp.transpose(stacked, (2, 4, 0, 3, 1, 5))
+    return patches.reshape(n_i * n_j, p * p)
+
+
+def _patches_blocked_fwd(image_2d, shape, stride):
+    # residuals: static dims + a zero-dim dtype carrier (pytree-safe)
+    return _patches_blocked_fwd_impl(image_2d, shape, stride), (
+        image_2d.shape[0],
+        image_2d.shape[1],
+        jnp.zeros((), image_2d.dtype),
+    )
+
+
+def _patches_blocked_bwd(shape, stride, residuals, dpatches):
+    h, w, proto = residuals
+    dtype = proto.dtype
+    p, s = shape[0], stride
+    q = p // s
+    nb_h, nb_w = h // s, w // s
+    n_i, n_j = nb_h - q + 1, nb_w - q + 1
+
+    dp = dpatches.reshape(n_i, n_j, q, s, q, s)
+    acc = jnp.zeros((nb_h, s, nb_w, s), dtype)
+    for bi in range(q):
+        for bj in range(q):
+            # dp slice dims (i, j, u, v) -> target block dims (i, u, j, v)
+            acc = acc.at[bi : bi + n_i, :, bj : bj + n_j, :].add(
+                jnp.transpose(dp[:, :, bi, :, bj, :], (0, 2, 1, 3))
+            )
+    return (acc.reshape(h, w),)
+
+
+_patches_blocked.defvjp(_patches_blocked_fwd, _patches_blocked_bwd)
+
+
 def view_as_overlapping_patches(image, shape, stride=None):
     """View an image as a dense matrix of overlapping patches.
 
     Equivalent of ``view_as_overlapping_patches_torch`` (reference
-    ``utils/torch.py:251-275``), implemented with
-    ``lax.conv_general_dilated_patches`` — on TPU a strided patch
-    *gather* costs ~40 ms at benchmark scale (256k indices) while the
-    conv formulation and its transpose (the overlap-add backward) stay
-    on the fast convolution paths.
+    ``utils/torch.py:251-275``). When the stride divides the patch size
+    and the image dimensions, extraction and its overlap-add transpose
+    are pure static block reshapes (fast path); otherwise
+    ``lax.conv_general_dilated_patches`` is used. A strided patch
+    *gather* costs ~40 ms at benchmark scale — never used here.
 
     Parameters
     ----------
@@ -82,6 +150,20 @@ def view_as_overlapping_patches(image, shape, stride=None):
 
     if stride is None:
         stride = shape[0] // 2
+
+    h, w = image.shape[-2], image.shape[-1]
+    blocked_ok = (
+        shape[0] == shape[1]
+        and stride > 0
+        and shape[0] % stride == 0
+        and h % stride == 0
+        and w % stride == 0
+    )
+    if blocked_ok:
+        return _patches_blocked(
+            image.reshape(h, w), tuple(shape), int(stride)
+        )
+
     im = image.reshape((1, 1) + image.shape[-2:])
     # output: (1, ph*pw, oh, ow) with features ordered (ph, pw)
     patches = lax.conv_general_dilated_patches(
