@@ -315,9 +315,20 @@ class MAPDeconvolver:
 
         Caching keeps jit compilation caches warm across repeated
         ``run`` calls with identical configuration (e.g. benchmark
-        warm-up runs).
+        warm-up runs). The key covers everything the compiled functions
+        close over.
         """
-        cache_key = (n_datasets,)
+        cache_key = (
+            n_datasets,
+            self.update_strategy,
+            self.trace_every != 0,
+            self.stop_early,
+            self.stop_early_n_average,
+            self.optimizer_type,
+            self.learning_rate,
+            tuple(sorted(self.optimizer_kwargs.items())),
+            self.beta,
+        )
         if getattr(self, "_fn_cache_key", None) != cache_key:
             tx = self._make_optimizer()
             epoch_fn = self._make_epoch_fn(tx, n_datasets)

@@ -92,8 +92,16 @@ def pack_gmm_buffers(means_prec, prec_chol, log_det, log_weights,
     a_quad = np.einsum("kde,e,kje->kdj", prec_chol, w_diag, prec_chol)
     b_quad = np.einsum("ke,e,kje->kj", means_prec, w_diag, prec_chol)
 
+    # split-float representation for the "split3" kernel mode:
+    # b = b_hi + b_lo with b_hi = bf16(b); DEFAULT-precision products of
+    # bf16-representable f32 operands are exact on the MXU
+    b_hi = np.asarray(jnp.asarray(b).astype(jnp.bfloat16).astype(jnp.float32))
+    b_lo = b - b_hi
+
     return {
         "b_packed": jnp.asarray(b),
+        "b_hi": jnp.asarray(b_hi),
+        "b_lo": jnp.asarray(b_lo),
         "mp_row": jnp.asarray(mp),
         "w_row": jnp.asarray(w),
         "const": jnp.asarray(const),
@@ -103,26 +111,61 @@ def pack_gmm_buffers(means_prec, prec_chol, log_det, log_weights,
     }
 
 
-def _score_kernel(x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
-                  values_ref, argmax_ref, *, precision, marginalize=False):
+def _score_kernel(*refs, precision, marginalize=False, split3=False):
+    if split3:
+        (x_ref, bhi_ref, blo_ref, mp_ref, w_ref, const_ref, seg_ref,
+         values_ref, argmax_ref) = refs
+        b_width = bhi_ref.shape[1]
+    else:
+        (x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
+         values_ref, argmax_ref) = refs
+        b_width = b_ref.shape[1]
+
     d = x_ref.shape[1]
     block = KB * d
-    n_blocks = b_ref.shape[1] // block
+    n_blocks = b_width // block
 
     x = x_ref[:]  # (TILE_N, d)
+    if split3:
+        # split-float operands: DEFAULT-precision MXU products of
+        # bf16-representable f32 values are exact; dropping only the
+        # lo*lo term keeps ~2^-16 relative accuracy at 3 passes
+        # (HIGHEST costs 6).
+        x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        x_lo = x - x_hi
 
     def body(kb, carry):
         best, best_idx, lse = carry
         col0 = pl.multiple_of(kb * block, block)
-        b_block = b_ref[:, pl.ds(col0, block)]          # (d, KB*d)
-        y = jnp.dot(x, b_block, preferred_element_type=jnp.float32,
-                    precision=precision)
+        if split3:
+            bhi = bhi_ref[:, pl.ds(col0, block)]
+            blo = blo_ref[:, pl.ds(col0, block)]
+            y = (
+                jnp.dot(x_hi, bhi, preferred_element_type=jnp.float32)
+                + jnp.dot(x_lo, bhi, preferred_element_type=jnp.float32)
+                + jnp.dot(x_hi, blo, preferred_element_type=jnp.float32)
+            )
+        else:
+            b_block = b_ref[:, pl.ds(col0, block)]      # (d, KB*d)
+            y = jnp.dot(x, b_block, preferred_element_type=jnp.float32,
+                        precision=precision)
         z = jnp.square(y - mp_ref[:, pl.ds(col0, block)])
         z = z * w_ref[:, pl.ds(col0, block)]
         # segment-reduce KB*d lanes -> KB per-component sums via MXU
         # (lane-slice VPU reductions measured slower than this matmul)
-        q = jnp.dot(z, seg_ref[:], preferred_element_type=jnp.float32,
-                    precision=precision)
+        if split3:
+            # the segment matrix is 0/1: split z for exact accumulation
+            z_hi = z.astype(jnp.bfloat16).astype(jnp.float32)
+            z_lo = z - z_hi
+            q = (
+                jnp.dot(z_hi, seg_ref[:],
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(z_lo, seg_ref[:],
+                          preferred_element_type=jnp.float32)
+            )
+        else:
+            q = jnp.dot(z, seg_ref[:], preferred_element_type=jnp.float32,
+                        precision=precision)
         logits = -0.5 * q + const_ref[pl.ds(kb, 1), :]  # (TILE_N, KB)
 
         block_best = jnp.max(logits, axis=1, keepdims=True)
@@ -157,18 +200,22 @@ def _score_kernel(x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
 
 def _score_forward_pallas(patches, packed, interpret=False,
                           precision=lax.Precision.HIGHEST, tile_n=None,
-                          marginalize=False):
+                          marginalize=False, split3=False):
     tile_n = tile_n or TILE_N
     n, d = patches.shape
     n_pad = -(-n // tile_n) * tile_n
     if n_pad != n:
         patches = jnp.pad(patches, ((0, n_pad - n), (0, 0)))
 
-    b_packed = packed["b_packed"]
     mp_row = packed["mp_row"]
     w_row = packed["w_row"]
     const = packed["const"]
     segment = packed["segment"]
+
+    if split3:
+        b_inputs = (packed["b_hi"], packed["b_lo"])
+    else:
+        b_inputs = (packed["b_packed"],)
 
     grid = (n_pad // tile_n,)
 
@@ -176,12 +223,13 @@ def _score_forward_pallas(patches, packed, interpret=False,
         return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     values, argmax = pl.pallas_call(
-        partial(_score_kernel, precision=precision, marginalize=marginalize),
+        partial(_score_kernel, precision=precision, marginalize=marginalize,
+                split3=split3),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            full(b_packed.shape),
+            *[full(b.shape) for b in b_inputs],
             full(mp_row.shape),
             full(w_row.shape),
             full(const.shape),
@@ -198,7 +246,7 @@ def _score_forward_pallas(patches, packed, interpret=False,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(patches, b_packed, mp_row, w_row, const, segment)
+    )(patches, *b_inputs, mp_row, w_row, const, segment)
 
     return values[:n, 0], argmax[:n, 0]
 
@@ -213,20 +261,25 @@ def gmm_score_pallas(patches, packed, means_prec, prec_chol, pixel_weights,
     (N,))`` where values are the per-patch max (MAP) or logsumexp
     (marginalise) over components. ``packed`` comes from
     :func:`pack_gmm_buffers` (precompute once per GMM). ``precision``
-    controls the MXU passes: HIGHEST for float32 parity (default),
-    DEFAULT for bf16 throughput.
+    controls the MXU passes: HIGHEST for float32 parity (default, 6
+    passes), HIGH for the split-float bf16x3 mode (~2^-16 accuracy at
+    3 passes), DEFAULT for raw bf16 throughput.
     """
+    split3 = precision == lax.Precision.HIGH
     return _score_forward_pallas(
-        patches, packed, interpret=interpret, precision=precision,
-        marginalize=marginalize,
+        patches, packed, interpret=interpret,
+        precision=lax.Precision.DEFAULT if split3 else precision,
+        marginalize=marginalize, split3=split3,
     )
 
 
 def _fwd(patches, packed, means_prec, prec_chol, pixel_weights, interpret,
          precision, marginalize):
+    split3 = precision == lax.Precision.HIGH
     values, argmax = _score_forward_pallas(
-        patches, packed, interpret=interpret, precision=precision,
-        marginalize=marginalize,
+        patches, packed, interpret=interpret,
+        precision=lax.Precision.DEFAULT if split3 else precision,
+        marginalize=marginalize, split3=split3,
     )
     residuals = (patches, packed, means_prec, prec_chol, pixel_weights,
                  argmax, values)

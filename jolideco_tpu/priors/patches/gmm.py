@@ -196,17 +196,15 @@ class GaussianMixtureModel:
 
         enabled, interpret = pallas_mode()
         precision = gmm_precision()
-        if precision == lax.Precision.HIGH:
-            # Mosaic supports only DEFAULT and HIGHEST dot precision
-            precision = lax.Precision.HIGHEST
 
         # measured on v5e (K=200, d=64, N=65536): at DEFAULT (bf16) the
-        # Pallas kernel wins 3x (4.3 vs 13 ms); at HIGHEST the XLA
-        # blocked scan wins (12.5 vs 15.2 ms). "auto" picks accordingly;
+        # Pallas kernel wins 3x (4.3 vs 13 ms); HIGH maps to the
+        # kernel's split-float bf16x3 mode; at HIGHEST the XLA blocked
+        # scan wins (12.5 vs 15.2 ms). "auto" picks accordingly;
         # "on"/"interpret" force the kernel.
         prefer_kernel = (
             use_pallas() in ("on", "interpret")
-            or precision == lax.Precision.DEFAULT
+            or precision in (lax.Precision.DEFAULT, lax.Precision.HIGH)
         )
 
         if enabled and prefer_kernel and self.packed is not None:

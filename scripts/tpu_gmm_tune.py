@@ -63,13 +63,16 @@ def main():
 
     timeit_fetch(scan_grad, (x, *scan_args), "scan  HIGHEST fwd+bwd    ")
 
-    for prec_name, prec in [("HIGHEST", lax.Precision.HIGHEST),
-                            ("DEFAULT", lax.Precision.DEFAULT)]:
-        for tile in [256, 512, 1024]:
+    for prec_name, prec, split3 in [
+        ("HIGHEST", lax.Precision.HIGHEST, False),
+        ("SPLIT3 ", lax.Precision.DEFAULT, True),
+        ("DEFAULT", lax.Precision.DEFAULT, False),
+    ]:
+        for tile in [512, 1024]:
             @jax.jit
-            def pallas_fwd(x, packed, prec=prec, tile=tile):
+            def pallas_fwd(x, packed, prec=prec, tile=tile, split3=split3):
                 v, _ = _score_forward_pallas(
-                    x, packed, precision=prec, tile_n=tile
+                    x, packed, precision=prec, tile_n=tile, split3=split3
                 )
                 return v.sum()
 
@@ -77,6 +80,27 @@ def main():
                 pallas_fwd, (x, gmm.packed),
                 f"pallas {prec_name} tile {tile:4d} fwd",
             )
+
+    # split3 accuracy on real hardware
+    @jax.jit
+    def s3(x, packed):
+        return _score_forward_pallas(
+            x, packed, precision=lax.Precision.DEFAULT, split3=True
+        )
+
+    @jax.jit
+    def hi(x, packed):
+        return _score_forward_pallas(
+            x, packed, precision=lax.Precision.HIGHEST
+        )
+
+    v3, i3 = s3(x, gmm.packed)
+    vh, ih = hi(x, gmm.packed)
+    v3 = np.asarray(v3)
+    vh = np.asarray(vh)
+    print(f"split3 vs highest: argmax agree "
+          f"{(np.asarray(i3) == np.asarray(ih)).mean():.5f}, value reldiff "
+          f"{np.abs(v3 - vh).max() / np.abs(vh).max():.2e}", flush=True)
 
 
 if __name__ == "__main__":
