@@ -82,6 +82,7 @@ class GMMPatchPrior(Prior):
         patch_norm=None,
         jitter=False,
         marginalize=False,
+        patch_fraction=1.0,
         seed=0,
     ):
         super().__init__(seed=seed)
@@ -107,6 +108,9 @@ class GMMPatchPrior(Prior):
 
         self.jitter = bool(jitter)
         self.marginalize = bool(marginalize)
+        if not 0.0 < patch_fraction <= 1.0:
+            raise ValueError("patch_fraction must be in (0, 1]")
+        self.patch_fraction = float(patch_fraction)
 
     # ------------------------------------------------------------------
     @property
@@ -140,12 +144,13 @@ class GMMPatchPrior(Prior):
     def _evaluate_log_like(self, flux, params=None, key=None):
         """Per-patch log-likelihoods, validity mask and metadata.
 
-        Returns ``(values, argmax, valid, patch_means, shifts)`` where
+        Returns ``(values, argmax, valid, patch_means, shifts,
+        subsample_scale)`` where
         ``values``/``argmax`` come from the streaming GMM scorer.
         """
         if key is None:
             key = self.next_key()
-        key_spin, key_subpix, key_jitter = jax.random.split(key, 3)
+        key_spin, key_subpix, key_jitter, key_sub = jax.random.split(key, 4)
 
         norm_params = None if params is None else params.get("norm")
         normed = self.norm(flux, params=norm_params)
@@ -168,6 +173,21 @@ class GMMPatchPrior(Prior):
                 normed, shape=self.patch_shape, stride=self.stride
             )
 
+        if self.patch_fraction < 1.0:
+            # stochastic patch subsampling (unbiased estimator of the
+            # full-patch log-prior; in the spirit of Parameswaran et
+            # al. 2018, "Accelerating GMM-based patch priors",
+            # arXiv:1710.08124): score a random static-size subset and
+            # scale the sum back up. Combined with per-epoch cycle
+            # spins the estimator averages over iterations.
+            n_total = patches.shape[0]
+            n_keep = max(1, int(round(self.patch_fraction * n_total)))
+            idx = jax.random.permutation(key_sub, n_total)[:n_keep]
+            patches = jnp.take(patches, idx, axis=0)
+            subsample_scale = n_total / n_keep
+        else:
+            subsample_scale = 1.0
+
         # zero-flux patch filter, shape-static: mask instead of drop
         # (reference priors/patches/core.py:213-216)
         valid = jnp.all(patches > ZERO_FLUX_SENTINEL, axis=1)
@@ -176,15 +196,18 @@ class GMMPatchPrior(Prior):
         patch_means = jnp.nanmean(patches, axis=1, keepdims=True)
         patches = self.patch_norm(patches)
         values, argmax = self.gmm.score(patches, marginalize=self.marginalize)
-        return values, argmax, valid, patch_means, shifts
+        return values, argmax, valid, patch_means, shifts, subsample_scale
 
     def __call__(self, flux, params=None, key=None, mask=None):
         """Scalar log-prior: overlap-weighted mean of patch scores."""
-        values, _, valid, _, _ = self._evaluate_log_like(
+        values, _, valid, _, _, subsample_scale = self._evaluate_log_like(
             flux, params=params, key=key
         )
         values = jnp.where(valid, values, 0.0)
-        return jnp.sum(values) * self.log_like_weight / flux.size
+        return (
+            jnp.sum(values) * subsample_scale * self.log_like_weight
+            / flux.size
+        )
 
     # ------------------------------------------------------------------
     def prior_image(self, flux):
@@ -197,9 +220,16 @@ class GMMPatchPrior(Prior):
             raise ValueError(
                 "Computing prior images with jittering is not supported."
             )
+        if self.patch_fraction < 1.0:
+            raise ValueError(
+                "Computing prior images with patch subsampling is not "
+                "supported."
+            )
 
         flux = jnp.asarray(flux)
-        _, argmax, valid, patch_means, shifts = self._evaluate_log_like(flux)
+        _, argmax, valid, patch_means, shifts, _ = self._evaluate_log_like(
+            flux
+        )
 
         idx = np.asarray(argmax)
         eigen_images = self.gmm.eigen_images
@@ -226,6 +256,7 @@ class GMMPatchPrior(Prior):
         data["cycle_spin_subpix"] = bool(self.cycle_spin_subpix)
         data["jitter"] = bool(self.jitter)
         data["marginalize"] = bool(self.marginalize)
+        data["patch_fraction"] = float(self.patch_fraction)
         data["gmm"] = self.gmm.to_dict()
         data["norm"] = self.norm.to_dict()
         data["patch_norm"] = self.patch_norm.to_dict()
@@ -260,6 +291,7 @@ register_pytree(
         "cycle_spin_subpix",
         "jitter",
         "marginalize",
+        "patch_fraction",
         "norm",
         "patch_norm",
     ),

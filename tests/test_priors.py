@@ -164,6 +164,29 @@ class TestGMMPatchPrior:
         )(flux)
         assert np.isfinite(np.asarray(grad)[:, :, 16:, 16:]).all()
 
+    def test_patch_subsampling(self, gmm, flux):
+        # full vs subsampled: unbiased estimator, so values agree in
+        # expectation; check single-draw magnitude and gradient flow
+        prior_full = GMMPatchPrior(gmm=gmm, cycle_spin=False)
+        prior_sub = GMMPatchPrior(
+            gmm=gmm, cycle_spin=False, patch_fraction=0.5
+        )
+        key = jax.random.PRNGKey(0)
+        v_full = float(prior_full(flux=flux, key=key))
+        v_sub = float(prior_sub(flux=flux, key=key))
+        assert np.isfinite(v_sub)
+        assert abs(v_sub - v_full) / abs(v_full) < 0.2
+
+        grad = jax.grad(
+            lambda f: prior_sub(flux=f, key=key)
+        )(flux)
+        assert np.isfinite(np.asarray(grad)).all()
+
+        with pytest.raises(ValueError):
+            GMMPatchPrior(gmm=gmm, patch_fraction=0.0)
+        with pytest.raises(ValueError):
+            prior_sub.prior_image(flux)
+
     def test_jitter(self, gmm, flux):
         prior = GMMPatchPrior(gmm=gmm, cycle_spin=False, jitter=True)
         value = float(prior(flux=flux, key=jax.random.PRNGKey(0)))
