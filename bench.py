@@ -90,9 +90,10 @@ def main():
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--profile-dir", default=None,
                         help="capture a jax profiler trace of the timed run")
-    parser.add_argument("--precision", default="highest",
+    parser.add_argument("--precision", default="high",
                         choices=["highest", "high", "default"],
-                        help="GMM scoring MXU precision")
+                        help="GMM scoring MXU precision (high = split-float "
+                             "bf16x3, 9e-6 accuracy)")
     parser.add_argument("--pallas", default="auto",
                         choices=["auto", "on", "off"],
                         help="GMM Pallas kernel dispatch")

