@@ -93,16 +93,104 @@ def _axis_tables(n):
     }
 
 
-def _dft_last(x, tables, precision):
-    """Permuted forward DFT along the last axis.
+def _split_mm(contract, a, b_hi, b_lo):
+    """Split-float matmul: ``contract(a, b)`` with f32-grade accuracy
+    from three DEFAULT-precision MXU passes (bf16 products of
+    bf16-representable operands are exact; only the lo*lo term is
+    dropped, ~2^-16 relative)."""
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    return contract(a_hi, b_hi) + contract(a_lo, b_hi) + contract(a_hi, b_lo)
 
-    Input in natural order ``n = N2 n1 + n2``; output in the permuted
-    ``(k1, k2)`` layout (true frequency ``k = N1 k2 + k1``)::
+
+def _cplx_contract(einsum_spec, xr, xi, m, precision):
+    """Complex contraction in explicit real arithmetic.
+
+    ``m`` is a dict holding the matrix's real/imag parts (and their
+    bf16 hi/lo splits). ``precision='split3'`` uses the split-float
+    passes; otherwise a `lax.Precision` for plain einsums.
+    """
+    if precision == "split3":
+        def mm(a, hi, lo):
+            return _split_mm(
+                lambda p, q: jnp.einsum(einsum_spec, p, q,
+                                        preferred_element_type=jnp.float32),
+                a, hi, lo,
+            )
+
+        rr = mm(xr, m["re_hi"], m["re_lo"])
+        ii = mm(xi, m["im_hi"], m["im_lo"])
+        ri = mm(xr, m["im_hi"], m["im_lo"])
+        ir = mm(xi, m["re_hi"], m["re_lo"])
+        return rr - ii, ri + ir
+
+    re, im = m["re"], m["im"]
+    rr = jnp.einsum(einsum_spec, xr, re, precision=precision)
+    ii = jnp.einsum(einsum_spec, xi, im, precision=precision)
+    ri = jnp.einsum(einsum_spec, xr, im, precision=precision)
+    ir = jnp.einsum(einsum_spec, xi, re, precision=precision)
+    return rr - ii, ri + ir
+
+
+def _matrix_parts(tables, name):
+    """Real/imag (+ hi/lo split) views of a complex table matrix."""
+    m = tables[name]
+    re = jnp.real(m).astype(jnp.float32)
+    im = jnp.imag(m).astype(jnp.float32)
+    re_hi = re.astype(jnp.bfloat16).astype(jnp.float32)
+    im_hi = im.astype(jnp.bfloat16).astype(jnp.float32)
+    return {
+        "re": re, "im": im,
+        "re_hi": re_hi, "re_lo": re - re_hi,
+        "im_hi": im_hi, "im_lo": im - im_hi,
+    }
+
+
+def _dft_last_parts(xr, xi, tables, prefix, inverse, precision):
+    """Permuted (inverse) DFT along the last axis in real arithmetic.
+
+    Forward (natural order in, ``(k1, k2)`` layout out)::
 
         A[k1, n2] = sum_n1 F1[k1, n1] x[n1, n2]
         B[k1, n2] = A[k1, n2] * w^(k1 n2)
         X[k1, k2] = sum_n2 B[k1, n2] F2[n2, k2]
+
+    Inverse consumes the permuted layout with reversed stage order.
     """
+    view = _axis_view(tables, prefix)
+    n1, n2 = view["n1"], view["n2"]
+
+    lead = xr.shape[:-1]
+    xr = xr.reshape(lead + (n1, n2))
+    xi = xi.reshape(lead + (n1, n2))
+
+    if not inverse:
+        f1 = _matrix_parts(view, "f1")
+        f2 = _matrix_parts(view, "f2")
+        twr = jnp.real(view["tw"]).astype(jnp.float32)
+        twi_ = jnp.imag(view["tw"]).astype(jnp.float32)
+        ar, ai = _cplx_contract("...nt,kn->...kt", xr, xi, f1, precision)
+        br = ar * twr - ai * twi_
+        bi = ar * twi_ + ai * twr
+        outr, outi = _cplx_contract("...kt,tj->...kj", br, bi, f2, precision)
+    else:
+        f2i = _matrix_parts(view, "f2i")
+        f1i = _matrix_parts(view, "f1i")
+        twr = jnp.real(view["twi"]).astype(jnp.float32)
+        twi_ = jnp.imag(view["twi"]).astype(jnp.float32)
+        ar, ai = _cplx_contract("...kj,jt->...kt", xr, xi, f2i, precision)
+        br = ar * twr - ai * twi_
+        bi = ar * twi_ + ai * twr
+        outr, outi = _cplx_contract("...kt,nk->...nt", br, bi, f1i, precision)
+
+    return (
+        outr.reshape(lead + (n1 * n2,)),
+        outi.reshape(lead + (n1 * n2,)),
+    )
+
+
+def _dft_last(x, tables, precision):
+    """Permuted forward DFT along the last axis (complex interface)."""
     n1, n2 = tables["n1"], tables["n2"]
     f1 = jnp.asarray(tables["f1"])
     f2 = jnp.asarray(tables["f2"])
@@ -117,13 +205,7 @@ def _dft_last(x, tables, precision):
 
 
 def _idft_last(x, tables, precision):
-    """Inverse of :func:`_dft_last`: consumes the permuted ``(k1, k2)``
-    layout and returns natural order. Stage order reverses::
-
-        A[k1, n2] = sum_k2 X[k1, k2] F2i[k2, n2]
-        B[k1, n2] = A[k1, n2] * conj(w)^(k1 n2)
-        x[n1, n2] = sum_k1 F1i[n1, k1] B[k1, n2]
-    """
+    """Inverse of :func:`_dft_last` (complex interface)."""
     n1, n2 = tables["n1"], tables["n2"]
     f1i = jnp.asarray(tables["f1i"])
     f2i = jnp.asarray(tables["f2i"])
@@ -207,14 +289,39 @@ def mxu_kernel_spectrum(kernel, fft_shape, tables,
     return mxu_dft2(embedded.astype(jnp.complex64), tables, precision)
 
 
+def _dft2_parts(xr, xi, tables, inverse, precision):
+    xr, xi = _dft_last_parts(xr, xi, tables, "cols", inverse, precision)
+    xr = jnp.swapaxes(xr, -1, -2)
+    xi = jnp.swapaxes(xi, -1, -2)
+    xr, xi = _dft_last_parts(xr, xi, tables, "rows", inverse, precision)
+    return jnp.swapaxes(xr, -1, -2), jnp.swapaxes(xi, -1, -2)
+
+
 def mxu_convolve(image, kernel_spectrum, tables, fft_shape,
-                 precision=lax.Precision.HIGHEST):
-    """2-D linear convolution via the matmul DFT (real in, real out)."""
+                 precision="split3"):
+    """2-D linear convolution via the matmul DFT (real in, real out).
+
+    ``precision="split3"`` (default) runs all complex contractions in
+    explicit real arithmetic with split-float MXU matmuls (~2^-16
+    accuracy); a `lax.Precision` value uses plain complex einsums.
+    """
     h, w = image.shape[-2], image.shape[-1]
     pad = [(0, 0)] * (image.ndim - 2) + [
         (0, int(fft_shape[0]) - h),
         (0, int(fft_shape[1]) - w),
     ]
+
+    if precision == "split3":
+        xr = jnp.pad(image, pad).astype(jnp.float32)
+        xi = jnp.zeros_like(xr)
+        xr, xi = _dft2_parts(xr, xi, tables, False, "split3")
+        kr = jnp.real(kernel_spectrum).astype(jnp.float32)
+        ki = jnp.imag(kernel_spectrum).astype(jnp.float32)
+        yr = xr * kr - xi * ki
+        yi = xr * ki + xi * kr
+        outr, _ = _dft2_parts(yr, yi, tables, True, "split3")
+        return outr[..., :h, :w].astype(image.dtype)
+
     x = jnp.pad(image, pad).astype(jnp.complex64)
     spec = mxu_dft2(x, tables, precision)
     out = mxu_idft2(spec * kernel_spectrum, tables, precision)
