@@ -1,0 +1,92 @@
+"""Unit tests for the small utility modules."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from jolideco_tpu.utils.misc import (
+    flatten_dict,
+    format_class_str,
+    recursive_update,
+    to_str,
+    unflatten_dict,
+)
+from jolideco_tpu.utils.table import Table
+
+
+def test_flatten_unflatten_roundtrip():
+    data = {"a": 1, "b": {"c": 2.5, "d": {"e": "x"}}}
+    flat = flatten_dict(data)
+    assert flat == {"a": 1, "b.c": 2.5, "b.d.e": "x"}
+    assert unflatten_dict(flat) == data
+
+
+def test_recursive_update():
+    base = {"a": {"b": 1}, "c": 2}
+    update = {"a": {"d": 3}, "asdf_library": {"skip": True}}
+    out = recursive_update(base, update)
+    assert out["a"] == {"b": 1, "d": 3}
+    assert "asdf_library" not in out
+
+
+def test_to_str_and_format():
+    class Obj:
+        def to_dict(self):
+            return {"x": 1.23456, "nested": {"y": "z"}}
+
+    text = format_class_str(Obj())
+    assert "Obj" in text
+    assert "1.235" in text
+    assert "y" in text
+
+
+def test_table_basics():
+    table = Table(names=["a", "b", "filename"], dtype=[float, float, str])
+    table.add_row({"a": 1.0, "b": 2.0, "filename": "f0"})
+    table.add_row({"a": 3.0, "filename": ""})
+
+    assert len(table) == 2
+    assert_allclose(table["a"], [1.0, 3.0])
+    assert np.isnan(table["b"][1])
+    assert table[-1]["a"] == 3.0
+    assert table[0]["filename"] == "f0"
+
+    round_trip = Table.from_dict(table.to_dict())
+    assert round_trip.colnames == table.colnames
+    assert_allclose(round_trip["a"], table["a"])
+
+    with pytest.raises(KeyError):
+        table[object()]
+
+
+def test_kernels_normalisation():
+    from jolideco_tpu.utils.kernels import gaussian_kernel_2d, tophat_kernel_2d
+
+    g = gaussian_kernel_2d(2.0)
+    assert g.shape[0] % 2 == 1
+    assert_allclose(g.sum(), 1.0, rtol=1e-10)
+    # symmetric
+    assert_allclose(g, g.T, rtol=1e-12)
+    assert_allclose(g, g[::-1, ::-1], rtol=1e-12)
+
+    t = tophat_kernel_2d(3.0, x_size=11, y_size=11)
+    assert_allclose(t.sum(), 1.0, rtol=1e-10)
+    # anti-aliased edge: values strictly between 0 and max exist
+    interior = t[5, 5]
+    assert ((t > 0) & (t < interior)).any()
+
+
+def test_sympy_helper():
+    sympy = pytest.importorskip("sympy")
+    from jolideco_tpu.utils.sympy import concrete_expand_log
+
+    import sympy as sp
+
+    x = sp.IndexedBase("x")
+    i = sp.Symbol("i", integer=True, positive=True)
+    n = sp.Symbol("N", integer=True, positive=True)
+    alpha = sp.Symbol("alpha", positive=True)
+
+    like = sp.Product(alpha * sp.exp(-x[i] * alpha), (i, 1, n))
+    expanded = concrete_expand_log(sp.log(like))
+    assert isinstance(expanded, sp.Sum)
