@@ -88,7 +88,8 @@ class StackedPoissonLoss:
     # ------------------------------------------------------------------
     @classmethod
     def from_datasets(cls, datasets, components, calibrations=None,
-                      fft_shape=None, conv_mode="fft"):
+                      fft_shape=None, conv_mode="fft",
+                      correct_exposure_edges=True):
         """Stack homogeneous datasets into batched device arrays.
 
         Ragged PSF sizes are padded into one FFT shape; raises if the
@@ -148,9 +149,10 @@ class StackedPoissonLoss:
                     exposure = upsample_bilinear(exposure, factor)
                     psf = upsample_bilinear(psf, factor) / factor**2
 
-                # edge correction (reference npred.py:108-113)
-                weights_im = convolve_fft(jnp.ones_like(exposure), psf)
-                exposure = exposure / weights_im
+                if correct_exposure_edges:
+                    # edge correction (reference npred.py:108-113)
+                    weights_im = convolve_fft(jnp.ones_like(exposure), psf)
+                    exposure = exposure / weights_im
 
                 exp_list.append(exposure)
                 psf_list.append(psf)
