@@ -20,6 +20,14 @@ def make_obs_mesh(n_devices=None, devices=None):
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_obs_mesh: {n_devices} devices requested but only "
+                f"{len(devices)} available ({[str(d) for d in devices]}); "
+                "refusing to silently build a smaller mesh. For tests, "
+                "force a virtual CPU backend with "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N."
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=("obs",))
 

@@ -27,6 +27,13 @@ def make_obs_row_mesh(n_obs_shards, n_row_shards, devices=None):
     if devices is None:
         devices = jax.devices()
     n = n_obs_shards * n_row_shards
+    if len(devices) < n:
+        raise ValueError(
+            f"make_obs_row_mesh: {n_obs_shards}x{n_row_shards}={n} devices "
+            f"requested but only {len(devices)} available; refusing to "
+            "silently build a smaller mesh. For tests, force a virtual CPU "
+            "backend with XLA_FLAGS=--xla_force_host_platform_device_count=N."
+        )
     grid = np.asarray(devices[:n]).reshape(n_obs_shards, n_row_shards)
     return Mesh(grid, axis_names=("obs", "row"))
 

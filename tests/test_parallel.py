@@ -291,3 +291,25 @@ def test_joint_training_with_gmm_sharded(datasets):
     result = deco.run(datasets=datasets, components=components)
     assert np.isfinite(result.trace_loss[-1]["total"])
     assert np.isfinite(result.flux_total).all()
+
+
+def test_mesh_builders_raise_on_insufficient_devices():
+    """Silent mesh degradation is forbidden: asking for more devices
+    than exist must raise, not quietly build a smaller mesh
+    (regression: round-1 dryrun 'passed' on a 1-device mesh)."""
+    from jolideco_tpu.parallel import make_obs_row_mesh
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="refusing"):
+        make_obs_mesh(n_devices=n + 1)
+    with pytest.raises(ValueError, match="refusing"):
+        make_obs_row_mesh(2, n)
+
+
+def test_dryrun_multichip_inprocess():
+    """The driver deliverable: full sharded train step on a real
+    8-device mesh (runs in-process here because conftest forces the
+    8-virtual-CPU backend)."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
