@@ -169,7 +169,8 @@ class MAPDeconvolver:
 
     # ------------------------------------------------------------------
     def to_dict(self):
-        """Configuration with simple data types."""
+        """Full configuration with simple data types — a result file
+        must describe the run that produced it."""
         data = {}
         data["n_epochs"] = self.n_epochs
         data["beta"] = self.beta
@@ -179,10 +180,30 @@ class MAPDeconvolver:
         data["stop_early_n_average"] = self.stop_early_n_average
         data["display_progress"] = self.display_progress
         data["optimizer_type"] = self.optimizer_type
+        data["optimizer_kwargs"] = {
+            k: v for k, v in self.optimizer_kwargs.items()
+            if k != "learning_rate"
+        }
         data["update_strategy"] = self.update_strategy
+        data["scan_epochs"] = self.scan_epochs
+        data["scan_chunk"] = self.scan_chunk
+        data["conv_mode"] = self.conv_mode
+        # the mesh itself is runtime state; record its topology
+        data["mesh"] = (
+            None
+            if self.mesh is None
+            else "x".join(
+                f"{name}:{size}"
+                for name, size in zip(
+                    self.mesh.axis_names, self.mesh.devices.shape
+                )
+            )
+        )
         data["trace_every"] = self.trace_every
         data["seed"] = self.seed
-        data["checkpoint_path"] = str(self.checkpoint_path)
+        data["checkpoint_path"] = (
+            None if self.checkpoint_path is None else str(self.checkpoint_path)
+        )
         return data
 
     def __str__(self):
@@ -246,12 +267,17 @@ class MAPDeconvolver:
         """Build the jitted epoch step.
 
         Signature: ``epoch_fn(components, total_loss, params, opt_state,
-        key) -> (params, opt_state, trace_row)`` where ``trace_row`` is
-        a dict of scalars (empty when tracing is disabled).
+        key, epoch) -> (params, opt_state, trace_row)`` where
+        ``trace_row`` is a dict of scalars (empty when tracing is
+        disabled; NaN-filled on epochs skipped by ``trace_every``, so
+        the extra trace forward only runs on recorded epochs).
         """
         beta = self.beta
         sequential = self.update_strategy == "sequential"
-        trace_on = self.trace_every != 0
+        trace_every = self.trace_every
+        # early stopping reads the validation loss off the trace row
+        # every epoch, so it forces a row per epoch regardless
+        trace_every_epoch = trace_every == 1 or self.stop_early
 
         def loss_for_dataset(params, components, total_loss, idx, key):
             fluxes = components.fluxes_from(params.get("components"))
@@ -278,7 +304,8 @@ class MAPDeconvolver:
             weights = total_loss.poisson_loss.weights
             return jnp.sum(losses * weights) - beta * loss_prior
 
-        def epoch_fn(components, total_loss, params, opt_state, key):
+        def epoch_fn(components, total_loss, params, opt_state, key,
+                     epoch):
             if sequential:
                 keys = jax.random.split(key, n_datasets + 1)
                 for idx in range(n_datasets):
@@ -296,16 +323,31 @@ class MAPDeconvolver:
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
 
-            if trace_on:
+            def compute_row(params):
                 fluxes = components.fluxes_from(params.get("components"))
-                trace_row = total_loss.trace_row_values(
+                return total_loss.trace_row_values(
                     fluxes,
                     params=params.get("components"),
                     key=trace_key,
                     calibration_params=params.get("calibrations"),
                 )
-            else:
+
+            if trace_every == 0:
                 trace_row = {}
+            elif trace_every_epoch:
+                trace_row = compute_row(params)
+            else:
+                # the trace row is a full no-grad forward of every
+                # dataset (+ validation); only pay it on recorded epochs
+                def skip_row(params):
+                    shapes = jax.eval_shape(compute_row, params)
+                    return jax.tree_util.tree_map(
+                        lambda s: jnp.full(s.shape, jnp.nan, s.dtype), shapes
+                    )
+
+                trace_row = jax.lax.cond(
+                    epoch % trace_every == 0, compute_row, skip_row, params
+                )
             return params, opt_state, trace_row
 
         return jax.jit(epoch_fn)
@@ -321,7 +363,7 @@ class MAPDeconvolver:
         cache_key = (
             n_datasets,
             self.update_strategy,
-            self.trace_every != 0,
+            self.trace_every,
             self.stop_early,
             self.stop_early_n_average,
             self.optimizer_type,
@@ -349,7 +391,7 @@ class MAPDeconvolver:
             # lowering — only the dict keys are used)
             params0, opt_state0 = carry[0], carry[1]
             _, _, proto = epoch_fn(
-                components, total_loss, params0, opt_state0, key
+                components, total_loss, params0, opt_state0, key, epochs[0]
             )
             nan_row = {k: jnp.float32(jnp.nan) for k in proto}
 
@@ -362,14 +404,16 @@ class MAPDeconvolver:
                     # (a lax.cond would shuttle the params/opt-state
                     # carries through both branches every epoch)
                     params, opt_state, row = epoch_fn(
-                        components, total_loss, params, opt_state, key_epoch
+                        components, total_loss, params, opt_state,
+                        key_epoch, epoch,
                     )
                     return (params, opt_state, done, val_hist, count), row
 
                 def active(operands):
                     params, opt_state = operands
                     return epoch_fn(
-                        components, total_loss, params, opt_state, key_epoch
+                        components, total_loss, params, opt_state,
+                        key_epoch, epoch,
                     )
 
                 def idle(operands):
@@ -594,7 +638,8 @@ class MAPDeconvolver:
                 pbar.set_description(f"Epoch {epoch + 1}")
                 key_epoch = jax.random.fold_in(key, epoch)
                 params, opt_state, row = epoch_fn(
-                    components, total_loss, params, opt_state, key_epoch
+                    components, total_loss, params, opt_state, key_epoch,
+                    jnp.int32(epoch),
                 )
                 pbar.update(n_datasets)
 
@@ -742,11 +787,20 @@ class MAPDeconvolverResult:
 
     @property
     def checkpoint_path(self):
-        """Checkpoint directory."""
-        return Path(self.config.get("checkpoint_path", None))
+        """Checkpoint directory, or None when the run did not
+        checkpoint (previously returned the bogus ``Path("None")``)."""
+        path = self.config.get("checkpoint_path", None)
+        if path is None or path == "None":
+            return None
+        return Path(path)
 
     def read_checkpoint(self, epoch):
         """Read the checkpoint written at ``epoch``."""
+        if self.checkpoint_path is None:
+            raise ValueError(
+                "This run was configured without checkpoint_path; there "
+                "are no per-epoch checkpoints to read."
+            )
         filename = self.checkpoint_path / self.trace_loss["filename"][epoch]
         return self.__class__.read(filename=filename)
 

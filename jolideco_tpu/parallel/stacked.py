@@ -265,29 +265,15 @@ class StackedPoissonLoss:
                 log_norms.append(cal["log_background_norm"])
         return jnp.stack(shifts), jnp.stack(log_norms)
 
-    def evaluate(self, fluxes, calibration_params=None):
-        """Per-observation mean Poisson NLL, vmapped: ``(N,)`` array."""
-        exposures = [self.exposures[k] for k in self.exposures]
+    def _per_obs_fn(self, fluxes):
+        """Single-observation loss function (unbatched arrays)."""
         direct = self.conv_mode == "direct" and self.psfs is not None
         mxu = self.conv_mode == "mxu" and self.psfs is not None
-        if direct or mxu:
-            kernels = [self.psfs[k] for k in self.psfs]
-        else:
-            kernels = [self.psf_ffts[k] for k in self.psf_ffts]
         factors = self.component_factors
         fft_shape = self.fft_shape
         mxu_fft_shape = self.mxu_fft_shape
         dft_tables = self.dft_tables
         has_calibration = self.has_calibration
-
-        if has_calibration:
-            shifts, log_norms = self._stack_calibration_params(
-                calibration_params
-            )
-        else:
-            n = self.counts.shape[0]
-            shifts = jnp.zeros((n, 1, 2), jnp.float32)
-            log_norms = jnp.zeros((n, 1), jnp.float32)
 
         def per_obs(counts, background, shift, log_norm, stirling,
                     *obs_arrays):
@@ -321,15 +307,39 @@ class StackedPoissonLoss:
                 npred = npred + background
             return self.loss_function(npred, counts, stirling=stirling)
 
+        return per_obs
+
+    def _stacked_args(self, calibration_params):
+        """Stacked positional arguments for `_per_obs_fn` (all with a
+        leading obs axis)."""
+        direct = self.conv_mode == "direct" and self.psfs is not None
+        mxu = self.conv_mode == "mxu" and self.psfs is not None
+        if direct or mxu:
+            kernels = [self.psfs[k] for k in self.psfs]
+        else:
+            kernels = [self.psf_ffts[k] for k in self.psf_ffts]
+        exposures = [self.exposures[k] for k in self.exposures]
+
+        if self.has_calibration:
+            shifts, log_norms = self._stack_calibration_params(
+                calibration_params
+            )
+        else:
+            n = self.counts.shape[0]
+            shifts = jnp.zeros((n, 1, 2), jnp.float32)
+            log_norms = jnp.zeros((n, 1), jnp.float32)
+
         obs_arrays = []
         for exposure, kernel in zip(exposures, kernels):
             obs_arrays.extend([exposure, kernel])
+        return (self.counts, self.background, shifts, log_norms,
+                self.stirling, *obs_arrays)
 
-        in_axes = (0, 0, 0, 0, 0) + (0,) * len(obs_arrays)
-        return jax.vmap(per_obs, in_axes=in_axes)(
-            self.counts, self.background, shifts, log_norms, self.stirling,
-            *obs_arrays
-        )
+    def evaluate(self, fluxes, calibration_params=None):
+        """Per-observation mean Poisson NLL, vmapped: ``(N,)`` array."""
+        per_obs = self._per_obs_fn(fluxes)
+        args = self._stacked_args(calibration_params)
+        return jax.vmap(per_obs, in_axes=(0,) * len(args))(*args)
 
     def __call__(self, fluxes, calibration_params=None):
         """Weighted sum of per-observation losses."""
@@ -337,9 +347,12 @@ class StackedPoissonLoss:
         return jnp.sum(losses * self.weights)
 
     def evaluate_dataset(self, idx, fluxes, calibration_params=None):
-        """Single-observation loss (for API parity; evaluates the
-        full stack and selects — prefer ``evaluate``)."""
-        return self.evaluate(fluxes, calibration_params)[idx]
+        """Single-observation loss — evaluates only observation ``idx``
+        (O(1) in the stack size, so the sequential update strategy over
+        a stacked loss costs the same total work as per-dataset models)."""
+        per_obs = self._per_obs_fn(fluxes)
+        args = self._stacked_args(calibration_params)
+        return per_obs(*(a[idx] for a in args))
 
     # ------------------------------------------------------------------
     def shard(self, mesh):

@@ -78,6 +78,9 @@ class GaussianMixtureModel:
     meta : `GaussianMixtureModelMeta`, optional
     """
 
+    # provenance: set by from_registry, carried as static pytree aux
+    _registry_name = None
+
     def __init__(self, means, covariances, weights, precisions_cholesky, meta=None):
         self.means = jnp.asarray(means, jnp.float32)
         self.covariances = jnp.asarray(covariances, jnp.float32)
@@ -277,7 +280,11 @@ class GaussianMixtureModel:
                 f"Not a supported GMM {name!r}, choose from {list(registry)}"
             )
         kwargs.update(registry[name])
-        return cls.read(**kwargs)
+        gmm = cls.read(**kwargs)
+        # remember the provenance so to_dict can serialise a registry
+        # reference without rescanning (and re-reading) the registry
+        gmm._registry_name = name
+        return gmm
 
     @classmethod
     def read(cls, filename, format="npz", **kwargs):
@@ -463,17 +470,17 @@ class GaussianMixtureModel:
     def to_dict(self):
         """Serialise as a registry reference, or inline when unknown.
 
-        The reference can only serialise registry GMMs
-        (``gmm.py:458-471`` there); unregistered models here fall back
-        to inlining their arrays.
+        A model built via :meth:`from_registry` serialises as its
+        registry name (O(1) — no registry scan; the round-1 version
+        instantiated every registry entry to test equality, reading and
+        Cholesky-factorising the whole library per serialisation).
+        Models of other provenance inline their arrays — a superset of
+        the reference, which can only serialise registry GMMs
+        (``gmm.py:458-471`` there).
         """
-        for name in GMM_REGISTRY:
-            try:
-                gmm = GaussianMixtureModel.from_registry(name=name)
-            except Exception:  # registry entries may point at missing files
-                continue
-            if gmm.is_equal(self):
-                return {"type": name}
+        name = getattr(self, "_registry_name", None)
+        if name is not None:
+            return {"type": name}
 
         data = {"type": "inline"}
         data["means"] = self.means_numpy
@@ -520,7 +527,7 @@ register_pytree(
         "pixel_weights",
         "packed",
     ),
-    aux_attrs=("meta",),
+    aux_attrs=("meta", "_registry_name"),
 )
 
 

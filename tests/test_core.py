@@ -330,3 +330,92 @@ def test_trace_every_zero(datasets_gauss):
     result = deco.run(datasets=datasets_gauss, components=components)
     assert len(result.trace_loss) == 0
     assert np.isfinite(result.flux_total).all()
+
+
+def test_trace_every_gated_and_config_roundtrip(datasets_gauss):
+    """trace_every=5 records every 5th epoch; the trace forward is
+    gated inside the compiled step (not just filtered host-side), and
+    gated runs match per-epoch-traced runs exactly."""
+    def build():
+        components = FluxComponents()
+        components["flux-1"] = SpatialFluxComponent.from_numpy(
+            flux=flux_init_32(), prior=UniformPrior()
+        )
+        return components
+
+    deco5 = MAPDeconvolver(
+        n_epochs=10, learning_rate=0.1, display_progress=False,
+        trace_every=5,
+    )
+    result5 = deco5.run(datasets=datasets_gauss, components=build())
+    deco1 = MAPDeconvolver(
+        n_epochs=10, learning_rate=0.1, display_progress=False,
+        trace_every=1,
+    )
+    result1 = deco1.run(datasets=datasets_gauss, components=build())
+
+    assert len(result5.trace_loss) == 2  # epochs 0 and 5
+    assert len(result1.trace_loss) == 10
+    assert_allclose(
+        result5.trace_loss["total"],
+        np.asarray(result1.trace_loss["total"])[[0, 5]],
+        rtol=1e-6,
+    )
+    assert_allclose(result5.flux_total, result1.flux_total, rtol=1e-6)
+
+
+def test_config_describes_run_fully():
+    """to_dict must include every knob that shaped the run
+    (round-1 omitted conv_mode/scan_epochs/scan_chunk/mesh/
+    optimizer_kwargs)."""
+    deco = MAPDeconvolver(
+        n_epochs=3, conv_mode="mxu", scan_chunk=50, trace_every=2,
+        optimizer_kwargs={"betas": (0.8, 0.95)},
+    )
+    config = deco.to_dict()
+    for key in ("conv_mode", "scan_epochs", "scan_chunk", "mesh",
+                "optimizer_kwargs"):
+        assert key in config, key
+    assert config["conv_mode"] == "mxu"
+    assert config["scan_chunk"] == 50
+    assert config["mesh"] is None
+    assert config["optimizer_kwargs"] == {"betas": (0.8, 0.95)}
+
+    from jolideco_tpu.parallel import make_obs_mesh
+
+    deco_mesh = MAPDeconvolver(mesh=make_obs_mesh())
+    assert deco_mesh.to_dict()["mesh"] == "obs:8"
+
+
+def test_checkpoint_path_none(deconvolver_result):
+    """No checkpointing configured -> checkpoint_path is None (not
+    Path('None')) and read_checkpoint refuses loudly."""
+    assert deconvolver_result.checkpoint_path is None
+    with pytest.raises(ValueError, match="without checkpoint_path"):
+        deconvolver_result.read_checkpoint(0)
+
+
+def test_gmm_to_dict_constant_time():
+    """Registry GMMs serialise as their name without instantiating the
+    registry; unregistered GMMs inline; both round-trip; pytree
+    flatten/unflatten keeps provenance."""
+    import jax
+
+    gmm = GaussianMixtureModel.from_registry("builtin-8x8-v1")
+    assert gmm.to_dict() == {"type": "builtin-8x8-v1"}
+
+    flat, treedef = jax.tree_util.tree_flatten(gmm)
+    rebuilt = jax.tree_util.tree_unflatten(treedef, flat)
+    assert rebuilt.to_dict() == {"type": "builtin-8x8-v1"}
+
+    rs = np.random.RandomState(0)
+    means = rs.normal(size=(3, 4))
+    covs = np.stack([np.eye(4)] * 3)
+    weights = np.full(3, 1 / 3)
+    inline = GaussianMixtureModel.from_numpy(
+        means=means, covariances=covs, weights=weights
+    )
+    data = inline.to_dict()
+    assert data["type"] == "inline"
+    back = GaussianMixtureModel.from_dict(data)
+    assert back.is_equal(inline)

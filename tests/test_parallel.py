@@ -313,3 +313,40 @@ def test_dryrun_multichip_inprocess():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_evaluate_dataset_single_obs(datasets, components):
+    """evaluate_dataset computes one observation's loss without
+    evaluating the whole stack (regression: O(N^2) sequential use)."""
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fluxes = components.to_flux_tuple()
+    full = np.asarray(stacked.evaluate(fluxes))
+    for idx in range(stacked.n_datasets):
+        single = np.asarray(stacked.evaluate_dataset(idx, fluxes))
+        assert_allclose(single, full[idx], rtol=1e-6)
+
+    # the hot ops (FFTs) must not be batched over the stack: a
+    # single-obs evaluation does exactly as many FFT elements as one
+    # observation's forward
+    jaxpr = jax.make_jaxpr(
+        lambda f: stacked.evaluate_dataset(0, f)
+    )(fluxes)
+    n = stacked.n_datasets
+
+    def fft_out_shapes(jxpr):
+        shapes = []
+        for eqn in jxpr.eqns:
+            if eqn.primitive.name == "fft":
+                shapes.extend(v.aval.shape for v in eqn.outvars)
+            for param in eqn.params.values():
+                if hasattr(param, "jaxpr"):
+                    shapes.extend(fft_out_shapes(param.jaxpr))
+        return shapes
+
+    shapes = fft_out_shapes(jaxpr.jaxpr)
+    assert shapes, "expected FFT ops in the forward"
+    assert all(
+        s[0] != n for s in shapes
+    ), f"evaluate_dataset still batches the stack: {shapes}"
