@@ -1,27 +1,46 @@
-"""Pallas TPU kernel for GMM patch scoring (MAP reduction).
+"""Pallas TPU kernel for GMM patch scoring (MAP max and marginalise).
 
-The streaming XLA scan in ``ops.gmm_score`` issues K separate
-``(N, d) @ (d, d)`` matmuls — each underutilises the 128x128 MXU
-(d = 64 contraction *and* 64 output lanes). This kernel restructures
-the computation flash-attention-style:
+Scores ``N`` patches of dimension ``d = 64`` against ``K`` Gaussian
+components with per-pixel overlap weights ``w`` (the EPLL hot loop,
+reference ``jolideco/priors/patches/gmm.py:262-281``).
 
-- all K precision-Cholesky factors are packed host-side into one
-  ``(d, K_pad * d)`` matrix ``B`` resident in VMEM (K=200, d=64 ->
-  3.3 MB);
-- a patch tile ``(TILE_N, d)`` is multiplied against 512-column blocks
-  of ``B`` (full MXU lane width), whitened residuals are squared,
-  pixel-weighted, and segment-reduced to per-component quadratic forms
-  by a second matmul against a 0/1 segment matrix (also MXU), with a
-  running max/argmax over components kept in registers;
-- the ``(N, K)`` logit matrix never exists — only the ``(N,)`` running
-  max and argmax flow back to HBM.
+The round-1 kernel computed whitened residuals ``y = x @ L_k`` in
+``KB``-component column blocks and segment-reduced ``y^2 w`` to
+per-component sums with a 0/1 matmul. That segment matmul contracts
+512 lanes into 8 outputs — it costs as many MXU cycles as the main
+matmul and doubles the pass count. This kernel restructures the score
+as an explicit quadratic form, which needs **one** big matmul and no
+reduction matmul:
 
-The backward pass exploits MAP semantics: gradients flow only through
-each patch's argmax component, so it is a cheap gather + batched
-matmul (``~1/K`` of the forward cost) in plain XLA.
+    q_k(x) = (xL_k - m'_k) W (xL_k - m'_k)^T
+           = x A_k x^T - 2 x b_k + c_k,
+    A_k = L_k W L_k^T,  b_k = m'_k W L_k^T,  c_k = m'_k W m'_k^T
 
-Correctness is pinned against ``ops.gmm_score`` in interpret mode on
-CPU; the marginalise (logsumexp) path stays on the XLA scan.
+- the kernel forms ``u = x (x) x`` (the row-wise outer product,
+  ``(TILE_N, d^2)``) on the VPU and multiplies it against the packed
+  ``(d^2, K_pad)`` matrix of all ``A_k`` — a single MXU contraction of
+  4096 with zero padding waste (the round-1 layout padded its d=64
+  contraction to 128, wasting half the array);
+- ``x @ b`` is a negligible ``(TILE_N, 64) @ (64, K_pad)`` matmul and
+  ``c_k`` folds into the per-component constant;
+- the per-tile ``(TILE_N, K_pad)`` logit block is small enough to
+  materialise in registers, so the MAP max/argmax *and* the
+  marginalise logsumexp are plain lane reductions — both modes run at
+  full kernel speed (the round-1 marginalise path fell back to a slow
+  XLA scan);
+- precision modes: HIGHEST keeps float32 operands (XLA 6-pass),
+  HIGH is the split-float bf16x3 mode (hi/lo bf16 operand splits,
+  ~2^-16 relative accuracy at 3 MXU passes), DEFAULT is raw bf16.
+
+The backward never gathers from HBM (the round-1 MAP backward gathered
+``(N, 64, 64)`` float32 quadratic forms — ~1 GB of traffic at benchmark
+scale). Instead the per-patch ``A_{k*}`` row block is *selected on the
+MXU* with a one-hot matmul: one-hot rows times a bf16 hi/lo split of
+``A`` copy f32 values exactly (products by 1.0 are exact, and each
+output element receives exactly one nonzero term), so the MAP backward
+is exact f32 at two bf16 passes. The marginalise backward replaces the
+one-hot with softmax weights (split bf16x3 for accuracy) and adds a
+logit recomputation.
 """
 
 from functools import partial
@@ -41,11 +60,18 @@ __all__ = [
     "pack_gmm_buffers",
     "pallas_supported",
     "TILE_N",
-    "KB",
 ]
 
-TILE_N = 1024  # tile-size sweep on v5e: 1024 > 512 > 256
-KB = 8  # components per inner block; KB * d = 512 lanes per matmul
+TILE_N = 256  # patch rows per kernel instance (u buffer: TILE_N x 4096)
+K_ALIGN = 128  # component padding: full MXU lane panels
+
+# VMEM at TILE_N rows: the u outer-product buffer is TILE_N x 4096 f32
+# plus its two broadcast factors; f32 A adds 4 MB. The HIGHEST mode
+# overflows the 16 MB scoped limit at 256 rows — halve its tile. The
+# marginalise backward recomputes the logits AND holds the selection
+# buffers, so it runs at half tile in every mode.
+_TILE_BY_MODE = {"highest": 128, "split3": 256, "default": 256}
+_TILE_BWD_MARG = 128
 
 
 def pallas_supported(n_features, n_components):
@@ -53,187 +79,179 @@ def pallas_supported(n_features, n_components):
     return n_features == 64 and n_components >= 1
 
 
+def _split_hi_lo(a):
+    """bf16 hi/lo split of a float64/float32 array (host-side)."""
+    a = np.asarray(a, np.float32)
+    hi = np.asarray(jnp.asarray(a).astype(jnp.bfloat16))
+    lo = np.asarray(
+        jnp.asarray(a - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+    )
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
 def pack_gmm_buffers(means_prec, prec_chol, log_det, log_weights,
                      pixel_weights):
-    """Pack GMM buffers into the kernel's dense layout (host-side numpy).
+    """Pack GMM buffers into the kernel's quadratic-form layout.
 
-    Returns a dict of arrays; padded components carry ``-inf`` const so
-    they never win the max.
+    All products are computed in float64 host-side. Padded components
+    carry ``-inf`` constants so they never win the max and vanish from
+    the logsumexp.
     """
-    prec_chol = np.asarray(prec_chol)
-    means_prec = np.asarray(means_prec)
+    prec_chol = np.asarray(prec_chol, np.float64)
+    means_prec = np.asarray(means_prec, np.float64)
+    w = np.asarray(pixel_weights, np.float64).reshape(-1)
     k, d, _ = prec_chol.shape
-    k_pad = -(-k // KB) * KB
-    n_blocks = k_pad // KB
+    k_pad = -(-k // K_ALIGN) * K_ALIGN
 
-    b = np.zeros((d, k_pad * d), np.float32)
-    mp = np.zeros((1, k_pad * d), np.float32)
-    for i in range(k):
-        b[:, i * d : (i + 1) * d] = prec_chol[i]
-        mp[0, i * d : (i + 1) * d] = means_prec[i]
+    # A_k = L_k W L_k^T, b_k = m' W L_k^T, c_k = m' W m'^T
+    a_quad = np.einsum("kde,e,kje->kdj", prec_chol, w, prec_chol)
+    b_quad = np.einsum("ke,e,kje->kj", means_prec, w, prec_chol)
+    c_quad = np.einsum("ke,e,ke->k", means_prec, w, means_prec)
 
-    w = np.tile(np.asarray(pixel_weights, np.float32).reshape(d), k_pad)[None]
+    # aq[(j*d + e), k] = A_k[j, e]; A is symmetric so the (j, e)
+    # flattening order only has to match the in-kernel outer product.
+    aq = np.ascontiguousarray(
+        a_quad.reshape(k, d * d).T, dtype=np.float32
+    )
+    aq = np.pad(aq, ((0, 0), (0, k_pad - k)))
+    aq_hi, aq_lo = _split_hi_lo(aq)
 
-    const = np.full((n_blocks, KB), -np.inf, np.float32)
-    const.reshape(-1)[:k] = (
+    # transposed copies for the backward's one-hot row selection
+    aqt = np.ascontiguousarray(aq.T)
+    aqt_hi, aqt_lo = _split_hi_lo(aqt)
+
+    bq = np.zeros((d, k_pad), np.float32)
+    bq[:, :k] = b_quad.T
+    bqt = np.ascontiguousarray(bq.T)
+
+    const2 = np.full((1, k_pad), -np.inf, np.float32)
+    const2[0, :k] = (
         -0.5 * d * LOG_2PI
-        + np.asarray(log_det, np.float32)
-        + np.asarray(log_weights, np.float32)
+        + np.asarray(log_det, np.float64)
+        + np.asarray(log_weights, np.float64)
+        - 0.5 * c_quad
     )
 
-    segment = np.zeros((KB * d, KB), np.float32)
-    for c in range(KB):
-        segment[c * d : (c + 1) * d, c] = 1.0
-
-    # backward-pass quadratic form: q_k(x) = x A_k x^T - 2 x b_k + c_k
-    # with A_k = P_k W P_k^T, b_k = mp_k W P_k^T, so
-    # d logit_k / dx = -(x A_k - b_k) — one gather + one reduce.
-    w_diag = np.asarray(pixel_weights, np.float64).reshape(d)
-    a_quad = np.einsum("kde,e,kje->kdj", prec_chol, w_diag, prec_chol)
-    b_quad = np.einsum("ke,e,kje->kj", means_prec, w_diag, prec_chol)
-
-    # split-float representation for the "split3" kernel mode:
-    # b = b_hi + b_lo with b_hi = bf16(b); DEFAULT-precision products of
-    # bf16-representable f32 operands are exact on the MXU
-    b_hi = np.asarray(jnp.asarray(b).astype(jnp.bfloat16).astype(jnp.float32))
-    b_lo = b - b_hi
-
     return {
-        "b_packed": jnp.asarray(b),
-        "b_hi": jnp.asarray(b_hi),
-        "b_lo": jnp.asarray(b_lo),
-        "mp_row": jnp.asarray(mp),
-        "w_row": jnp.asarray(w),
-        "const": jnp.asarray(const),
-        "segment": jnp.asarray(segment),
-        "a_quad": jnp.asarray(a_quad, jnp.float32),
-        "b_quad": jnp.asarray(b_quad, jnp.float32),
+        "aq": jnp.asarray(aq),
+        "aq_hi": aq_hi,
+        "aq_lo": aq_lo,
+        "aqt": jnp.asarray(aqt),
+        "aqt_hi": aqt_hi,
+        "aqt_lo": aqt_lo,
+        "bq": jnp.asarray(bq),
+        "bqt": jnp.asarray(bqt),
+        "const2": jnp.asarray(const2),
     }
 
 
-def _score_kernel(*refs, precision, marginalize=False, split3=False):
-    if split3:
-        (x_ref, bhi_ref, blo_ref, mp_ref, w_ref, const_ref, seg_ref,
-         values_ref, argmax_ref) = refs
-        b_width = bhi_ref.shape[1]
-    else:
-        (x_ref, b_ref, mp_ref, w_ref, const_ref, seg_ref,
-         values_ref, argmax_ref) = refs
-        b_width = b_ref.shape[1]
+def _outer_rows(x, d):
+    """Row-wise outer product ``u[n, j*d + e] = x[n, j] * x[n, e]``.
 
-    d = x_ref.shape[1]
-    block = KB * d
-    n_blocks = b_width // block
-
-    x = x_ref[:]  # (TILE_N, d)
-    if split3:
-        # split-float operands: DEFAULT-precision MXU products of
-        # bf16-representable f32 values are exact; dropping only the
-        # lo*lo term keeps ~2^-16 relative accuracy at 3 passes
-        # (HIGHEST costs 6).
-        x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-        x_lo = x - x_hi
-
-    def body(kb, carry):
-        best, best_idx, lse = carry
-        col0 = pl.multiple_of(kb * block, block)
-        if split3:
-            bhi = bhi_ref[:, pl.ds(col0, block)]
-            blo = blo_ref[:, pl.ds(col0, block)]
-            y = (
-                jnp.dot(x_hi, bhi, preferred_element_type=jnp.float32)
-                + jnp.dot(x_lo, bhi, preferred_element_type=jnp.float32)
-                + jnp.dot(x_hi, blo, preferred_element_type=jnp.float32)
-            )
-        else:
-            b_block = b_ref[:, pl.ds(col0, block)]      # (d, KB*d)
-            y = jnp.dot(x, b_block, preferred_element_type=jnp.float32,
-                        precision=precision)
-        z = jnp.square(y - mp_ref[:, pl.ds(col0, block)])
-        z = z * w_ref[:, pl.ds(col0, block)]
-        # segment-reduce KB*d lanes -> KB per-component sums via MXU
-        # (lane-slice VPU reductions measured slower than this matmul)
-        if split3:
-            # the segment matrix is 0/1: split z for exact accumulation
-            z_hi = z.astype(jnp.bfloat16).astype(jnp.float32)
-            z_lo = z - z_hi
-            q = (
-                jnp.dot(z_hi, seg_ref[:],
-                        preferred_element_type=jnp.float32)
-                + jnp.dot(z_lo, seg_ref[:],
-                          preferred_element_type=jnp.float32)
-            )
-        else:
-            q = jnp.dot(z, seg_ref[:], preferred_element_type=jnp.float32,
-                        precision=precision)
-        logits = -0.5 * q + const_ref[pl.ds(kb, 1), :]  # (TILE_N, KB)
-
-        block_best = jnp.max(logits, axis=1, keepdims=True)
-        lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        block_arg = jnp.min(
-            jnp.where(logits >= block_best, lane, KB), axis=1, keepdims=True
-        )
-        take = block_best > best
-        best = jnp.where(take, block_best, best)
-        best_idx = jnp.where(take, kb * KB + block_arg, best_idx)
-
-        if marginalize:
-            # streaming logsumexp over the block (padded components
-            # carry -inf const and contribute exp(-inf) = 0)
-            block_lse = block_best[:, 0:1] + jnp.log(
-                jnp.sum(jnp.exp(logits - block_best), axis=1, keepdims=True)
-            )
-            lse = jnp.maximum(lse, block_lse) + jnp.log1p(
-                jnp.exp(-jnp.abs(lse - block_lse))
-            )
-        return best, best_idx, lse
-
-    init = (
-        jnp.full((x.shape[0], 1), -jnp.inf, jnp.float32),
-        jnp.zeros((x.shape[0], 1), jnp.int32),
-        jnp.full((x.shape[0], 1), -jnp.inf, jnp.float32),
+    ``pltpu.repeat`` TILES the lane vector (``[x0..x63, x0..x63, ...]``)
+    — that is the e-cycling factor; the j-major factor concatenates
+    single-lane broadcasts.
+    """
+    xe = pltpu.repeat(x, d, axis=1)               # x_e cycling
+    xj = jnp.concatenate(                         # x_j repeated d times
+        [jax.lax.broadcast_in_dim(x[:, j:j + 1], (x.shape[0], d), (0, 1))
+         for j in range(d)],
+        axis=1,
     )
-    best, best_idx, lse = jax.lax.fori_loop(0, n_blocks, body, init)
-    values_ref[:] = lse if marginalize else best
-    argmax_ref[:] = best_idx
+    return xj * xe
+
+
+def _logits_block(x, aq_refs, bq_ref, const2_ref, mode):
+    """Per-tile logits ``(TILE_N, K_pad)`` from the quadratic form."""
+    d = x.shape[1]
+    u = _outer_rows(x, d)
+    if mode == "split3":
+        aq_hi, aq_lo = aq_refs
+        u_hi = u.astype(jnp.bfloat16)
+        u_lo = (u - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        q = (
+            jnp.dot(u_hi, aq_hi[:], preferred_element_type=jnp.float32)
+            + jnp.dot(u_lo, aq_hi[:], preferred_element_type=jnp.float32)
+            + jnp.dot(u_hi, aq_lo[:], preferred_element_type=jnp.float32)
+        )
+    else:
+        (aq,) = aq_refs
+        precision = (
+            lax.Precision.HIGHEST if mode == "highest"
+            else lax.Precision.DEFAULT
+        )
+        q = jnp.dot(u, aq[:], preferred_element_type=jnp.float32,
+                    precision=precision)
+    # the b term is a tiny d-contraction; keep it exact
+    xb = jnp.dot(x, bq_ref[:], preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)
+    return -0.5 * q + xb + const2_ref[:]
+
+
+def _score_kernel(*refs, mode, marginalize):
+    if mode == "split3":
+        x_ref, aq_hi_ref, aq_lo_ref, bq_ref, const2_ref, values_ref, \
+            argmax_ref = refs
+        aq_refs = (aq_hi_ref, aq_lo_ref)
+    else:
+        x_ref, aq_ref, bq_ref, const2_ref, values_ref, argmax_ref = refs
+        aq_refs = (aq_ref,)
+
+    logits = _logits_block(x_ref[:], aq_refs, bq_ref, const2_ref, mode)
+
+    best = jnp.max(logits, axis=1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    k_pad = logits.shape[1]
+    argmax_ref[:] = jnp.min(
+        jnp.where(logits >= best, lane, k_pad), axis=1, keepdims=True
+    )
+    if marginalize:
+        values_ref[:] = best + jnp.log(
+            jnp.sum(jnp.exp(logits - best), axis=1, keepdims=True)
+        )
+    else:
+        values_ref[:] = best
+
+
+def _mode(precision):
+    if precision == lax.Precision.HIGH:
+        return "split3"
+    if precision == lax.Precision.HIGHEST:
+        return "highest"
+    return "default"
+
+
+def _full(arr):
+    return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                        memory_space=pltpu.VMEM)
 
 
 def _score_forward_pallas(patches, packed, interpret=False,
-                          precision=lax.Precision.HIGHEST, tile_n=None,
-                          marginalize=False, split3=False):
-    tile_n = tile_n or TILE_N
+                          precision=lax.Precision.HIGHEST,
+                          marginalize=False, tile_n=None):
+    tile_n = tile_n or _TILE_BY_MODE[_mode(precision)]
     n, d = patches.shape
     n_pad = -(-n // tile_n) * tile_n
     if n_pad != n:
         patches = jnp.pad(patches, ((0, n_pad - n), (0, 0)))
 
-    mp_row = packed["mp_row"]
-    w_row = packed["w_row"]
-    const = packed["const"]
-    segment = packed["segment"]
-
-    if split3:
-        b_inputs = (packed["b_hi"], packed["b_lo"])
+    mode = _mode(precision)
+    if mode == "split3":
+        aq_inputs = (packed["aq_hi"], packed["aq_lo"])
     else:
-        b_inputs = (packed["b_packed"],)
-
-    grid = (n_pad // tile_n,)
-
-    def full(shape):
-        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        aq_inputs = (packed["aq"],)
+    bq = packed["bq"]
+    const2 = packed["const2"]
 
     values, argmax = pl.pallas_call(
-        partial(_score_kernel, precision=precision, marginalize=marginalize,
-                split3=split3),
-        grid=grid,
+        partial(_score_kernel, mode=mode, marginalize=marginalize),
+        grid=(n_pad // tile_n,),
         in_specs=[
             pl.BlockSpec((tile_n, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *[full(b.shape) for b in b_inputs],
-            full(mp_row.shape),
-            full(w_row.shape),
-            full(const.shape),
-            full(segment.shape),
+            *[_full(a) for a in aq_inputs],
+            _full(bq),
+            _full(const2),
         ],
         out_specs=[
             pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
@@ -246,9 +264,81 @@ def _score_forward_pallas(patches, packed, interpret=False,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(patches, *b_inputs, mp_row, w_row, const, segment)
+    )(patches, *aq_inputs, bq, const2)
 
     return values[:n, 0], argmax[:n, 0]
+
+
+def _select_contract(x, weights_hi, weights_lo, aqt_hi_ref, aqt_lo_ref,
+                     bqt_ref):
+    """``dx``-style contraction for weighted component mixtures.
+
+    Computes ``b_w - x A_w`` where ``A_w = sum_k w_k A_k`` and
+    ``b_w = sum_k w_k b_k`` with per-row weights ``(TILE_N, K_pad)``
+    given as a bf16 hi/lo pair. The ``A`` row mixture happens on the
+    MXU; the ``x``-contraction is d strided VPU multiply-accumulates
+    (layout-friendly, no reshape relayout).
+    """
+    d = x.shape[1]
+    arow = (
+        jnp.dot(weights_hi, aqt_hi_ref[:],
+                preferred_element_type=jnp.float32)
+        + jnp.dot(weights_hi, aqt_lo_ref[:],
+                  preferred_element_type=jnp.float32)
+    )
+    if weights_lo is not None:
+        arow = arow + jnp.dot(weights_lo, aqt_hi_ref[:],
+                              preferred_element_type=jnp.float32)
+    b_sel = jnp.dot(
+        weights_hi.astype(jnp.float32), bqt_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    if weights_lo is not None:
+        b_sel = b_sel + jnp.dot(
+            weights_lo.astype(jnp.float32), bqt_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+
+    xa = jnp.zeros_like(x)
+    for j in range(d):
+        xa = xa + x[:, j:j + 1] * arow[:, j * d:(j + 1) * d]
+    return b_sel - xa
+
+
+def _bwd_map_kernel(x_ref, argmax_ref, g_ref, aqt_hi_ref, aqt_lo_ref,
+                    bqt_ref, dx_ref):
+    x = x_ref[:]
+    k_pad = aqt_hi_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], k_pad), 1)
+    onehot = (lane == argmax_ref[:]).astype(jnp.bfloat16)
+    # one-hot rows copy A/b entries exactly: each output element gets
+    # exactly one nonzero product, and 1.0 * bf16 is exact
+    dx = _select_contract(x, onehot, None, aqt_hi_ref, aqt_lo_ref, bqt_ref)
+    dx_ref[:] = dx * g_ref[:]
+
+
+def _bwd_marg_kernel(*refs, mode):
+    if mode == "split3":
+        (x_ref, values_ref, g_ref, aq_hi_ref, aq_lo_ref, bq_ref,
+         const2_ref, aqt_hi_ref, aqt_lo_ref, bqt_ref, dx_ref) = refs
+        aq_refs = (aq_hi_ref, aq_lo_ref)
+    else:
+        (x_ref, values_ref, g_ref, aq_ref, bq_ref, const2_ref,
+         aqt_hi_ref, aqt_lo_ref, bqt_ref, dx_ref) = refs
+        aq_refs = (aq_ref,)
+
+    x = x_ref[:]
+    logits = _logits_block(x, aq_refs, bq_ref, const2_ref, mode)
+    # softmax against the forward's logsumexp; renormalise to absorb
+    # f32 roundoff between the saved lse and the recomputed logits
+    p = jnp.exp(logits - values_ref[:])
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    p_hi = p.astype(jnp.bfloat16)
+    p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dx = _select_contract(x, p_hi, p_lo, aqt_hi_ref, aqt_lo_ref, bqt_ref)
+    dx_ref[:] = dx * g_ref[:]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -261,25 +351,21 @@ def gmm_score_pallas(patches, packed, means_prec, prec_chol, pixel_weights,
     (N,))`` where values are the per-patch max (MAP) or logsumexp
     (marginalise) over components. ``packed`` comes from
     :func:`pack_gmm_buffers` (precompute once per GMM). ``precision``
-    controls the MXU passes: HIGHEST for float32 parity (default, 6
-    passes), HIGH for the split-float bf16x3 mode (~2^-16 accuracy at
-    3 passes), DEFAULT for raw bf16 throughput.
+    selects the MXU mode for the main contraction: HIGHEST = float32
+    operands (6 passes), HIGH = split-float bf16x3 (~2^-16 relative at
+    3 passes), DEFAULT = raw bf16 (1 pass).
     """
-    split3 = precision == lax.Precision.HIGH
     return _score_forward_pallas(
-        patches, packed, interpret=interpret,
-        precision=lax.Precision.DEFAULT if split3 else precision,
-        marginalize=marginalize, split3=split3,
+        patches, packed, interpret=interpret, precision=precision,
+        marginalize=marginalize,
     )
 
 
 def _fwd(patches, packed, means_prec, prec_chol, pixel_weights, interpret,
          precision, marginalize):
-    split3 = precision == lax.Precision.HIGH
     values, argmax = _score_forward_pallas(
-        patches, packed, interpret=interpret,
-        precision=lax.Precision.DEFAULT if split3 else precision,
-        marginalize=marginalize, split3=split3,
+        patches, packed, interpret=interpret, precision=precision,
+        marginalize=marginalize,
     )
     residuals = (patches, packed, means_prec, prec_chol, pixel_weights,
                  argmax, values)
@@ -291,74 +377,56 @@ def _bwd(interpret, precision, marginalize, residuals, cotangents):
      values) = residuals
     g_values, _ = cotangents
 
+    tile_n = _TILE_BWD_MARG if marginalize else TILE_N
+    n, d = patches.shape
+    n_pad = -(-n // tile_n) * tile_n
+    x = patches
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        argmax = jnp.pad(argmax, ((0, n_pad - n),))
+        values = jnp.pad(values, ((0, n_pad - n),))
+        g_values = jnp.pad(g_values, ((0, n_pad - n),))
+    argmax2 = argmax[:, None]
+    values2 = values[:, None]
+    g2 = g_values[:, None].astype(jnp.float32)
+
+    aqt_hi, aqt_lo, bqt = packed["aqt_hi"], packed["aqt_lo"], packed["bqt"]
+
+    row_spec = pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
     if not marginalize:
-        # MAP backward via the gathered quadratic form:
-        # d logit_{k*} / dx = -(x A_{k*} - b_{k*}).  The elementwise
-        # broadcast-reduce keeps this on the VPU (bandwidth-bound on
-        # the ~N*d*d gather) instead of N tiny batched MXU matmuls.
-        d = patches.shape[1]
-        a_g = jnp.take(
-            packed["a_quad"].reshape(-1, d * d), argmax, axis=0
-        ).reshape(-1, d, d)                                # (N, d, d)
-        b_g = jnp.take(packed["b_quad"], argmax, axis=0)   # (N, d)
-        xa = jnp.sum(patches[:, :, None] * a_g, axis=1)    # (N, d)
-        dx = -(xa - b_g) * g_values[:, None]
+        dx = pl.pallas_call(
+            _bwd_map_kernel,
+            grid=(n_pad // tile_n,),
+            in_specs=[row_spec, col_spec, col_spec,
+                      _full(aqt_hi), _full(aqt_lo), _full(bqt)],
+            out_specs=row_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            interpret=interpret,
+        )(x, argmax2, g2, aqt_hi, aqt_lo, bqt)
     else:
-        # logsumexp backward: softmax-weighted mixture over components,
-        # re-scanned in KB-blocks against the packed buffers (values
-        # holds the per-patch logsumexp).
-        d = patches.shape[1]
-        block = KB * d
-        n_blocks = packed["b_packed"].shape[1] // block
-        w_row = packed["w_row"][0]
-        lse = values
+        mode = _mode(precision)
+        if mode == "split3":
+            aq_inputs = (packed["aq_hi"], packed["aq_lo"])
+        else:
+            aq_inputs = (packed["aq"],)
+        dx = pl.pallas_call(
+            partial(_bwd_marg_kernel, mode=mode),
+            grid=(n_pad // tile_n,),
+            in_specs=[row_spec, col_spec, col_spec,
+                      *[_full(a) for a in aq_inputs],
+                      _full(packed["bq"]), _full(packed["const2"]),
+                      _full(aqt_hi), _full(aqt_lo), _full(bqt)],
+            out_specs=row_spec,
+            out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            interpret=interpret,
+        )(x, values2, g2, *aq_inputs, packed["bq"], packed["const2"],
+          aqt_hi, aqt_lo, bqt)
 
-        def body(dx, kb):
-            col0 = kb * block
-            b_blk = lax.dynamic_slice_in_dim(
-                packed["b_packed"], col0, block, axis=1
-            )
-            mp_blk = lax.dynamic_slice_in_dim(
-                packed["mp_row"][0], col0, block, axis=0
-            )
-            w_blk = lax.dynamic_slice_in_dim(w_row, col0, block, axis=0)
-            const_blk = lax.dynamic_index_in_dim(
-                packed["const"], kb, 0, keepdims=False
-            )
-            a_blk = lax.dynamic_slice_in_dim(
-                packed["a_quad"], kb * KB, KB, axis=0
-            )
-            b_quad_blk = lax.dynamic_slice_in_dim(
-                packed["b_quad"], kb * KB, KB, axis=0
-            )
-
-            y = jnp.dot(patches, b_blk, precision=precision) - mp_blk
-            z = jnp.square(y) * w_blk
-            q = z.reshape(-1, KB, d).sum(axis=-1)
-            logits = -0.5 * q + const_blk                  # (N, KB)
-            p = jnp.exp(logits - lse[:, None])             # softmax
-
-            # d logit_k / dx = -(x A_k - b_k) for each block component
-            xa = jnp.einsum(
-                "nd,kdj->nkj", patches, a_blk, precision=precision
-            )
-            contrib = -(xa - b_quad_blk[None, :, :])       # (N, KB, d)
-            dx, p_sum = dx
-            dx = dx + jnp.einsum("nk,nkj->nj", p, contrib)
-            p_sum = p_sum + p.sum(axis=1)
-            return (dx, p_sum), None
-
-        (dx, p_sum), _ = lax.scan(
-            body,
-            (jnp.zeros_like(patches), jnp.zeros(patches.shape[0],
-                                                patches.dtype)),
-            jnp.arange(n_blocks),
-        )
-        # renormalise: f32 roundoff between the kernel's lse and the
-        # recomputed logits (magnitudes ~1e5) leaves sum(p) != 1
-        dx = dx / p_sum[:, None]
-        dx = dx * g_values[:, None]
-
+    dx = dx[:n]
     return (
         dx,
         jax.tree_util.tree_map(jnp.zeros_like, packed),

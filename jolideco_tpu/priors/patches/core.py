@@ -29,8 +29,11 @@ import jax.numpy as jnp
 from ...ops.fft import convolve_fft
 from ...ops.image import avg_pool, cycle_spin, cycle_spin_subpixel
 from ...ops.patches import (
-    reconstruct_from_overlapping_patches,
+    get_pixel_weights,
+    grouped_patch_corners,
+    reconstruct_from_overlapping_patches_at,
     view_as_overlapping_patches,
+    view_as_overlapping_patches_grouped,
     view_as_random_overlapping_patches,
 )
 from ...utils.kernels import gaussian_kernel_2d
@@ -125,6 +128,12 @@ class GMMPatchPrior(Prior):
         return max(self.patch_shape) - self.stride
 
     @property
+    def _grouped_ok(self):
+        """Whether the grouped (fast-transpose) extraction applies."""
+        ph, pw = self.patch_shape
+        return ph == pw and ph % self.stride == 0
+
+    @property
     def log_like_weight(self):
         """Per-patch weight correcting for patch overlap."""
         return self.stride**2 / float(np.prod(self.patch_shape))
@@ -167,6 +176,14 @@ class GMMPatchPrior(Prior):
         if self.jitter:
             patches = view_as_random_overlapping_patches(
                 key_jitter, normed, shape=self.patch_shape, stride=self.stride
+            )
+        elif self._grouped_ok:
+            # group-order extraction: same patch set, scatter-free
+            # overlap-add transpose (see ops.patches); scoring, masking
+            # and the weighted mean are per-patch, so the order is an
+            # internal detail (prior_image maps corners explicitly)
+            patches = view_as_overlapping_patches_grouped(
+                normed, shape=self.patch_shape, stride=self.stride
             )
         else:
             patches = view_as_overlapping_patches(
@@ -235,8 +252,23 @@ class GMMPatchPrior(Prior):
         eigen_images = self.gmm.eigen_images
         patches = eigen_images[idx] + np.asarray(patch_means).reshape((-1, 1, 1))
 
-        reco = reconstruct_from_overlapping_patches(
-            patches=patches, image_shape=flux.shape[-2:], stride=self.stride
+        weights = get_pixel_weights(
+            patch_shape=self.patch_shape, stride=self.stride
+        )
+        if self._grouped_ok:
+            corners = grouped_patch_corners(
+                flux.shape[-2:], self.patch_shape, self.stride
+            )
+        else:
+            h, w = flux.shape[-2:]
+            ph, pw = self.patch_shape
+            cy = np.arange(0, h - ph + 1, self.stride)
+            cx = np.arange(0, w - pw + 1, self.stride)
+            yy, xx = np.meshgrid(cy, cx, indexing="ij")
+            corners = np.stack([yy.ravel(), xx.ravel()], axis=-1)
+        reco = reconstruct_from_overlapping_patches_at(
+            patches=weights * patches, corners=corners,
+            image_shape=flux.shape[-2:],
         )
         image = np.roll(reco, shift=-1 * np.asarray(shifts), axis=(0, 1))
         scaled = self.norm.inverse(jnp.asarray(image, jnp.float32))

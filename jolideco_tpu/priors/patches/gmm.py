@@ -193,24 +193,17 @@ class GaussianMixtureModel:
         when enabled (``jolideco_tpu.config``); logsumexp marginalise
         and unsupported shapes use the XLA scan.
         """
-        from jax import lax
-
-        from ...config import gmm_precision, pallas_mode, use_pallas
+        from ...config import gmm_precision, pallas_mode
 
         enabled, interpret = pallas_mode()
         precision = gmm_precision()
 
-        # measured on v5e (K=200, d=64, N=65536): at DEFAULT (bf16) the
-        # Pallas kernel wins 3x (4.3 vs 13 ms); HIGH maps to the
-        # kernel's split-float bf16x3 mode; at HIGHEST the XLA blocked
-        # scan wins (12.5 vs 15.2 ms). "auto" picks accordingly;
-        # "on"/"interpret" force the kernel.
-        prefer_kernel = (
-            use_pallas() in ("on", "interpret")
-            or precision in (lax.Precision.DEFAULT, lax.Precision.HIGH)
-        )
-
-        if enabled and prefer_kernel and self.packed is not None:
+        # the quadratic-form kernel beats the XLA blocked scan at every
+        # precision on v5e (HIGHEST: one f32 6-pass contraction with no
+        # padding waste vs the scan's 12.5 ms; HIGH: split-float bf16x3;
+        # DEFAULT: raw bf16), and it serves both the MAP max and the
+        # marginalise logsumexp from the same materialised logit tile.
+        if enabled and self.packed is not None:
             from ...ops.gmm_pallas import gmm_score_pallas
 
             return gmm_score_pallas(

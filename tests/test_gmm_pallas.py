@@ -199,12 +199,27 @@ def test_pack_layout(gmm):
         np.asarray(gmm.pixel_weights),
     )
     k, d = gmm.n_components, gmm.n_features
-    k_pad = -(-k // 8) * 8
-    assert packed["b_packed"].shape == (d, k_pad * d)
-    assert packed["const"].shape == (k_pad // 8, 8)
-    # first component block round-trips
+    from jolideco_tpu.ops.gmm_pallas import K_ALIGN
+
+    k_pad = -(-k // K_ALIGN) * K_ALIGN
+    assert packed["aq"].shape == (d * d, k_pad)
+    assert packed["bq"].shape == (d, k_pad)
+    assert packed["const2"].shape == (1, k_pad)
+    # A_0 = L_0 W L_0^T round-trips through the packed layout
+    w = np.asarray(gmm.pixel_weights, np.float64)
+    prec0 = np.asarray(gmm.precisions_cholesky[0], np.float64)
+    a0 = prec0 @ np.diag(w) @ prec0.T
     assert_allclose(
-        np.asarray(packed["b_packed"][:, :d]),
-        np.asarray(gmm.precisions_cholesky[0]),
-        rtol=1e-6,
+        np.asarray(packed["aq"][:, 0]).reshape(d, d), a0, rtol=1e-5,
+        atol=1e-7,
+    )
+    # padded components never win: -inf constants
+    assert np.all(np.isneginf(np.asarray(packed["const2"][0, k:])))
+    # hi/lo splits recompose to f32 A (~2^-17 relative)
+    aq = np.asarray(packed["aq"])
+    assert_allclose(
+        np.asarray(packed["aq_hi"], np.float32)
+        + np.asarray(packed["aq_lo"], np.float32),
+        aq,
+        atol=np.abs(aq).max() * 1e-4,
     )

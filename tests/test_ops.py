@@ -425,3 +425,45 @@ class TestPrecisionCholesky:
         expected = _compute_precision_cholesky(covariances, "full")
         result = compute_precision_cholesky(covariances)
         assert_allclose(result, expected, rtol=1e-10)
+
+
+def test_grouped_patches_same_set_as_row_major():
+    """Grouped extraction yields the same patch SET (different order)
+    as the row-major view, with matching corners, and a scatter-free
+    transpose (overlap-add equals the row-major adjoint)."""
+    from jolideco_tpu.ops.patches import (
+        grouped_patch_corners,
+        view_as_overlapping_patches,
+        view_as_overlapping_patches_grouped,
+    )
+
+    rs = np.random.RandomState(0)
+    for h, w in [(32, 32), (33, 41)]:
+        img = jnp.asarray(rs.rand(h, w).astype(np.float32))
+        row = np.asarray(view_as_overlapping_patches(img, (8, 8), stride=4))
+        grp = np.asarray(
+            view_as_overlapping_patches_grouped(img, (8, 8), stride=4)
+        )
+        corners = grouped_patch_corners((h, w), (8, 8), 4)
+        assert grp.shape == row.shape
+        # map grouped rows to row-major positions via corners
+        n_x = (w - 8) // 4 + 1
+        pos = (corners[:, 0] // 4) * n_x + corners[:, 1] // 4
+        assert len(np.unique(pos)) == len(pos)
+        reordered = np.empty_like(grp)
+        reordered[pos] = grp
+        np.testing.assert_array_equal(reordered, row)
+
+    # adjoint equality: grad of sum(w * patches) matches both paths
+    img = jnp.asarray(rs.rand(32, 32).astype(np.float32))
+    wvec = jnp.asarray(rs.rand(64).astype(np.float32))
+    g_row = jax.grad(
+        lambda x: (view_as_overlapping_patches(x, (8, 8), 4) * wvec).sum()
+    )(img)
+    g_grp = jax.grad(
+        lambda x: (
+            view_as_overlapping_patches_grouped(x, (8, 8), 4) * wvec
+        ).sum()
+    )(img)
+    np.testing.assert_allclose(np.asarray(g_grp), np.asarray(g_row),
+                               rtol=1e-6)
