@@ -23,9 +23,17 @@ import jax.numpy as jnp
 __all__ = [
     "fft_conv_shape",
     "kernel_fft",
+    "kernel_fft_pair",
     "convolve_fft",
     "convolve_fft_precomputed",
+    "convolve_fft_packed_pair",
 ]
+
+
+def _complex_on_device(re, im):
+    import jax
+
+    return jax.jit(jax.lax.complex)(jnp.asarray(re), jnp.asarray(im))
 
 
 def fft_conv_shape(image_shape, kernel_shape):
@@ -116,6 +124,83 @@ def convolve_fft_precomputed(image, kft, fft_shape):
     image_ft = jnp.fft.rfft2(image, s=tuple(fft_shape))
     out = jnp.fft.irfft2(image_ft * kft, s=tuple(fft_shape))
     return out[..., :h, :w]
+
+
+def kernel_fft_pair(kernel0, kernel1, image_shape, fft_shape):
+    """Pair-packed full-spectrum kernel transforms.
+
+    TPU XLA's ``rfft2`` does not fully exploit real-input symmetry
+    (measured: a c64 ``fft2`` of half the batch beats ``rfft2`` of the
+    full batch ~1.6x on v5e), so two real convolutions are packed into
+    one complex transform: with ``Z = fft2(x0 + i x1)`` and hermitian
+    unpacking folded into the kernel side,
+
+        W = A Z + B conj(Z~),   A = (K0 + K1)/2,  B = (K0 - K1)/2,
+
+    where ``Z~[m] = Z[-m mod N]`` per axis, and ``ifft2(W) = y0 + i y1``
+    recovers both real convolution results exactly.
+
+    Returns the ``(A, B)`` full-spectrum pair for origin-centered
+    kernels at ``fft_shape``.
+    """
+    min0 = fft_conv_shape(image_shape, kernel0.shape)
+    min1 = fft_conv_shape(image_shape, kernel1.shape)
+    if (fft_shape[0] < max(min0[0], min1[0])
+            or fft_shape[1] < max(min0[1], min1[1])):
+        raise ValueError(
+            f"fft_shape {fft_shape} too small for linear convolution"
+        )
+
+    # host-side numpy: build-time work, no device compile (a jitted
+    # builder here recompiled per pair and cost ~30 s per run at
+    # benchmark scale), and f64 transforms for free
+    def embed(kernel):
+        kernel = np.asarray(kernel, np.float64)
+        kh, kw = kernel.shape[-2], kernel.shape[-1]
+        pad = [(0, 0)] * (kernel.ndim - 2) + [
+            (0, fft_shape[0] - kh),
+            (0, fft_shape[1] - kw),
+        ]
+        padded = np.pad(kernel, pad)
+        return np.roll(
+            padded, shift=(-((kh - 1) // 2), -((kw - 1) // 2)),
+            axis=(-2, -1),
+        )
+
+    f0 = np.fft.fft2(embed(kernel0), s=fft_shape)
+    f1 = np.fft.fft2(embed(kernel1), s=fft_shape)
+    a = 0.5 * (f0 + f1)
+    b = 0.5 * (f0 - f1)
+    # complex host->device transfers are unimplemented on some remote
+    # backends: ship real/imag as f32 and combine on-device
+    return (
+        _complex_on_device(np.asarray(a.real, np.float32),
+                           np.asarray(a.imag, np.float32)),
+        _complex_on_device(np.asarray(b.real, np.float32),
+                           np.asarray(b.imag, np.float32)),
+    )
+
+
+def convolve_fft_packed_pair(x0, x1, a, b, fft_shape):
+    """Convolve two real images with two kernels via ONE complex FFT.
+
+    ``(a, b)`` come from :func:`kernel_fft_pair`. Returns
+    ``(y0, y1) = (x0 * k0, x1 * k1)`` cropped to the input shape —
+    bit-level differences from the rfft path are ~1e-7 relative
+    (one extra complex add per spectrum point).
+    """
+    h, w = x0.shape[-2], x0.shape[-1]
+    pad = [(0, 0)] * (x0.ndim - 2) + [
+        (0, fft_shape[0] - h),
+        (0, fft_shape[1] - w),
+    ]
+    import jax
+
+    z = jnp.fft.fft2(jax.lax.complex(jnp.pad(x0, pad), jnp.pad(x1, pad)))
+    # Z~[m] = Z[-m mod N]: flip + roll(1) per spatial axis
+    z_rev = jnp.roll(jnp.flip(z, axis=(-2, -1)), shift=(1, 1), axis=(-2, -1))
+    y = jnp.fft.ifft2(a * z + b * jnp.conj(z_rev))
+    return jnp.real(y)[..., :h, :w], jnp.imag(y)[..., :h, :w]
 
 
 def convolve_fft(image, kernel):

@@ -59,6 +59,8 @@ def shard_stacked_spatial(stacked, mesh):
     replicated = NamedSharding(mesh, P())
 
     new = _copy.copy(stacked)
+    new.pair_kernels = None
+    new.sharded = True
     for attr in ("counts", "background", "exposures", "psf_ffts", "psfs"):
         value = getattr(stacked, attr)
         if value is not None:

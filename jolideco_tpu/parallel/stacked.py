@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 
 from ..loss import poisson_nll
-from ..ops.fft import convolve_fft, convolve_fft_precomputed, kernel_fft
+from ..ops.fft import (
+    convolve_fft,
+    convolve_fft_packed_pair,
+    convolve_fft_precomputed,
+    kernel_fft,
+    kernel_fft_pair,
+)
 from ..ops.image import shift_image, sum_pool, upsample_bilinear
 from ..utils.pytree import register_pytree
 
@@ -51,7 +57,8 @@ class StackedPoissonLoss:
     def __init__(self, counts, background, exposures, psf_ffts, names_all,
                  component_factors, fft_shape, has_calibration=False,
                  weights=None, psf_scales=None, psfs=None, conv_mode="fft",
-                 dft_tables=None, mxu_fft_shape=None):
+                 dft_tables=None, mxu_fft_shape=None, pair_kernels=None,
+                 sharded=False):
         self.counts = counts
         self.background = background
         self.exposures = dict(exposures)
@@ -72,6 +79,8 @@ class StackedPoissonLoss:
         self.conv_mode = str(conv_mode)
         self._weights = tuple(weights) if weights is not None else None
         self.psf_scales = tuple(psf_scales) if psf_scales is not None else None
+        self.pair_kernels = dict(pair_kernels) if pair_kernels else None
+        self.sharded = bool(sharded)
 
     @property
     def n_datasets(self):
@@ -126,7 +135,7 @@ class StackedPoissonLoss:
             jnp.float32,
         )
 
-        exposures, psf_ffts, psfs = {}, {}, {}
+        exposures, psf_ffts, psfs, pair_kernels = {}, {}, {}, {}
         component_factors = []
         common_fft_shape = fft_shape
         mxu_tables, mxu_shape_common = None, None
@@ -172,6 +181,20 @@ class StackedPoissonLoss:
             ]
             exposures[name] = jnp.stack(exp_list)
             psf_ffts[name] = jnp.stack(kfts)
+
+            if conv_mode == "fft" and len(psf_list) >= 2:
+                # pair-packed full-spectrum kernels: two real
+                # convolutions per complex FFT (see kernel_fft_pair)
+                n_pairs = len(psf_list) // 2
+                pair_a, pair_b = [], []
+                for i in range(n_pairs):
+                    a, b = kernel_fft_pair(
+                        psf_list[2 * i], psf_list[2 * i + 1],
+                        image_shape, common_fft_shape,
+                    )
+                    pair_a.append(a)
+                    pair_b.append(b)
+                pair_kernels[name] = (jnp.stack(pair_a), jnp.stack(pair_b))
 
             if conv_mode == "mxu":
                 # permuted matmul-DFT spectra at a balanced-factor shape
@@ -249,6 +272,7 @@ class StackedPoissonLoss:
             conv_mode=conv_mode,
             dft_tables=mxu_tables,
             mxu_fft_shape=mxu_shape_common,
+            pair_kernels=pair_kernels or None,
         )
 
     # ------------------------------------------------------------------
@@ -336,10 +360,77 @@ class StackedPoissonLoss:
                 self.stirling, *obs_arrays)
 
     def evaluate(self, fluxes, calibration_params=None):
-        """Per-observation mean Poisson NLL, vmapped: ``(N,)`` array."""
+        """Per-observation mean Poisson NLL: ``(N,)`` array.
+
+        The unsharded FFT path packs observation pairs into complex
+        transforms (~1.6x FFT throughput); when sharded over an ``obs``
+        mesh axis the per-observation vmap is kept so GSPMD partitions
+        one observation per device.
+        """
+        if (
+            self.conv_mode == "fft"
+            and self.pair_kernels is not None
+            and not self.sharded
+        ):
+            return self._evaluate_packed_fft(fluxes, calibration_params)
         per_obs = self._per_obs_fn(fluxes)
         args = self._stacked_args(calibration_params)
         return jax.vmap(per_obs, in_axes=(0,) * len(args))(*args)
+
+    def _evaluate_packed_fft(self, fluxes, calibration_params):
+        """Batched forward with pair-packed FFT convolutions."""
+        n = self.counts.shape[0]
+        n_pairs = n // 2
+        fft_shape = self.fft_shape
+
+        if self.has_calibration:
+            shifts, log_norms = self._stack_calibration_params(
+                calibration_params
+            )
+        else:
+            shifts = None
+            log_norms = None
+
+        npred = jnp.zeros_like(self.background)
+        for idx, name in enumerate(self.exposures):
+            flux = fluxes[idx]
+            factor = self.component_factors[idx]
+            exposure = self.exposures[name]            # (N, 1, C, H', W')
+            if shifts is not None:
+                x = jax.vmap(
+                    lambda s: shift_image(flux, s, scale=factor)
+                )(shifts)
+            else:
+                x = flux[None]
+            x = x * exposure
+
+            pair_a, pair_b = self.pair_kernels[name]
+            y0, y1 = convolve_fft_packed_pair(
+                x[0:2 * n_pairs:2], x[1:2 * n_pairs:2], pair_a, pair_b,
+                fft_shape,
+            )
+            y = jnp.stack([y0, y1], axis=1).reshape(
+                (2 * n_pairs,) + y0.shape[1:]
+            )
+            if n % 2:
+                tail = convolve_fft_precomputed(
+                    x[-1], self.psf_ffts[name][-1], fft_shape
+                )
+                y = jnp.concatenate([y, tail[None]], axis=0)
+            y = sum_pool(y, factor)
+            npred = npred + jnp.clip(y, 0.0, None)
+
+        if log_norms is not None:
+            norm = jnp.exp(log_norms).reshape(
+                (n,) + (1,) * (self.background.ndim - 1)
+            )
+            npred = npred + self.background * norm
+        else:
+            npred = npred + self.background
+
+        return jax.vmap(self.loss_function)(
+            npred, self.counts, stirling=self.stirling
+        )
 
     def __call__(self, fluxes, calibration_params=None):
         """Weighted sum of per-observation losses."""
@@ -375,13 +466,17 @@ class StackedPoissonLoss:
                 setattr(new, attr, shard_stacked(value, mesh))
         if self.dft_tables is not None:
             new.dft_tables = replicate(self.dft_tables, mesh)
+        # pair packing would halve the obs-sharding granularity; the
+        # sharded evaluation keeps one observation per device instead
+        new.pair_kernels = None
+        new.sharded = True
         return new
 
 
 register_pytree(
     StackedPoissonLoss,
     children_attrs=("counts", "background", "exposures", "psf_ffts", "psfs",
-                    "stirling", "dft_tables"),
+                    "stirling", "dft_tables", "pair_kernels"),
     aux_attrs=(
         "names_all",
         "component_factors",
@@ -391,5 +486,6 @@ register_pytree(
         "conv_mode",
         "_weights",
         "psf_scales",
+        "sharded",
     ),
 )

@@ -350,3 +350,98 @@ def test_evaluate_dataset_single_obs(datasets, components):
     assert all(
         s[0] != n for s in shapes
     ), f"evaluate_dataset still batches the stack: {shapes}"
+
+
+@pytest.mark.parametrize("n_obs", [2, 3, 4])
+def test_packed_fft_matches_vmap_path(n_obs):
+    """Pair-packed FFT evaluation == per-observation vmap path (both
+    values and gradients), including the odd-N tail."""
+    rs = np.random.RandomState(5)
+    datasets = {}
+    for i in range(n_obs):
+        datasets[f"o{i}"] = {
+            "counts": rs.poisson(5.0, (32, 32)).astype(np.float32),
+            "psf": np.ones((5 + 2 * i, 5 + 2 * i), np.float32)
+            / (5 + 2 * i) ** 2,
+            "exposure": 1.0 + rs.rand(32, 32).astype(np.float32),
+            "background": np.full((32, 32), 2.0, np.float32),
+        }
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=rs.gamma(20, size=(32, 32))
+    )
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    assert stacked.pair_kernels is not None
+    fluxes = components.to_flux_tuple()
+
+    packed = np.asarray(jax.jit(stacked.evaluate)(fluxes))
+
+    per_obs = stacked._per_obs_fn(fluxes)
+    args = stacked._stacked_args(None)
+    ref = np.asarray(jax.vmap(per_obs, in_axes=(0,) * len(args))(*args))
+    assert_allclose(packed, ref, rtol=1e-5, atol=1e-6)
+
+    g_packed = jax.jit(
+        jax.grad(lambda f: stacked.evaluate((f,)).sum())
+    )(fluxes[0])
+    def ref_loss(f):
+        po = stacked._per_obs_fn((f,))
+        a = stacked._stacked_args(None)
+        return jax.vmap(po, in_axes=(0,) * len(a))(*a).sum()
+    g_ref = jax.grad(ref_loss)(fluxes[0])
+    assert_allclose(np.asarray(g_packed), np.asarray(g_ref), rtol=1e-4,
+                    atol=1e-6)
+
+
+def test_packed_fft_with_calibrations():
+    """Packed path under per-observation calibration shifts/norms."""
+    from jolideco_tpu.models import NPredCalibration, NPredCalibrations
+
+    rs = np.random.RandomState(6)
+    datasets = {}
+    for i in range(4):
+        datasets[f"o{i}"] = {
+            "counts": rs.poisson(5.0, (32, 32)).astype(np.float32),
+            "psf": np.ones((5, 5), np.float32) / 25.0,
+            "exposure": np.ones((32, 32), np.float32),
+            "background": np.full((32, 32), 2.0, np.float32),
+        }
+    calibrations = NPredCalibrations()
+    calib_params = {}
+    for i, name in enumerate(datasets):
+        calibrations[name] = NPredCalibration()
+        calib_params[name] = {
+            "shift_xy": jnp.asarray([[0.1 * i, -0.05 * i]], jnp.float32),
+            "log_background_norm": jnp.asarray([0.01 * i], jnp.float32),
+        }
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=rs.gamma(20, size=(32, 32))
+    )
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, calibrations=calibrations
+    )
+    fluxes = components.to_flux_tuple()
+    packed = np.asarray(jax.jit(stacked.evaluate)(fluxes, calib_params))
+    per_obs = stacked._per_obs_fn(fluxes)
+    args = stacked._stacked_args(calib_params)
+    ref = np.asarray(jax.vmap(per_obs, in_axes=(0,) * len(args))(*args))
+    assert_allclose(packed, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_path_disables_packing(datasets, components):
+    """shard() falls back to the per-observation vmap (one obs per
+    device) and still matches the packed unsharded result."""
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fluxes = components.to_flux_tuple()
+    expected = np.asarray(jax.jit(stacked.evaluate)(fluxes))
+
+    mesh = make_obs_mesh()
+    sharded = stacked.shard(mesh)
+    assert sharded.sharded and sharded.pair_kernels is None
+    got = np.asarray(jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes))
+    assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
