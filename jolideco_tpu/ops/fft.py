@@ -23,11 +23,54 @@ import jax.numpy as jnp
 __all__ = [
     "fft_conv_shape",
     "kernel_fft",
+    "kernel_fft_numpy",
     "kernel_fft_pair",
     "convolve_fft",
+    "convolve_fft_numpy",
     "convolve_fft_precomputed",
     "convolve_fft_packed_pair",
 ]
+
+
+def _origin_centered_numpy(kernel, fft_shape):
+    """Numpy twin of ``_origin_centered`` (build-time, host-side)."""
+    kernel = np.asarray(kernel, np.float64)
+    kh, kw = kernel.shape[-2], kernel.shape[-1]
+    pad = [(0, 0)] * (kernel.ndim - 2) + [
+        (0, fft_shape[0] - kh),
+        (0, fft_shape[1] - kw),
+    ]
+    padded = np.pad(kernel, pad)
+    return np.roll(
+        padded, shift=(-((kh - 1) // 2), -((kw - 1) // 2)), axis=(-2, -1)
+    )
+
+
+def kernel_fft_numpy(kernel, image_shape, fft_shape):
+    """Host-side :func:`kernel_fft`: ``(re, im)`` float32 numpy arrays.
+
+    Build-time preprocessing stays off the device (each eager device
+    call costs a round-trip on remotely-attached chips) and runs in
+    float64 for free. Combine on-device with ``lax.complex``.
+    """
+    min_shape = fft_conv_shape(image_shape, kernel.shape)
+    if fft_shape[0] < min_shape[0] or fft_shape[1] < min_shape[1]:
+        raise ValueError(
+            f"fft_shape {fft_shape} too small for linear convolution, "
+            f"need at least {min_shape}"
+        )
+    kft = np.fft.rfft2(_origin_centered_numpy(kernel, fft_shape), s=fft_shape)
+    return np.asarray(kft.real, np.float32), np.asarray(kft.imag, np.float32)
+
+
+def convolve_fft_numpy(image, kernel):
+    """Host-side :func:`convolve_fft` (float64 numpy, build-time)."""
+    image = np.asarray(image, np.float64)
+    fft_shape = fft_conv_shape(image.shape, kernel.shape)
+    kft = np.fft.rfft2(_origin_centered_numpy(kernel, fft_shape), s=fft_shape)
+    h, w = image.shape[-2], image.shape[-1]
+    out = np.fft.irfft2(np.fft.rfft2(image, s=fft_shape) * kft, s=fft_shape)
+    return out[..., :h, :w]
 
 
 def _complex_on_device(re, im):
@@ -154,21 +197,8 @@ def kernel_fft_pair(kernel0, kernel1, image_shape, fft_shape):
     # host-side numpy: build-time work, no device compile (a jitted
     # builder here recompiled per pair and cost ~30 s per run at
     # benchmark scale), and f64 transforms for free
-    def embed(kernel):
-        kernel = np.asarray(kernel, np.float64)
-        kh, kw = kernel.shape[-2], kernel.shape[-1]
-        pad = [(0, 0)] * (kernel.ndim - 2) + [
-            (0, fft_shape[0] - kh),
-            (0, fft_shape[1] - kw),
-        ]
-        padded = np.pad(kernel, pad)
-        return np.roll(
-            padded, shift=(-((kh - 1) // 2), -((kw - 1) // 2)),
-            axis=(-2, -1),
-        )
-
-    f0 = np.fft.fft2(embed(kernel0), s=fft_shape)
-    f1 = np.fft.fft2(embed(kernel1), s=fft_shape)
+    f0 = np.fft.fft2(_origin_centered_numpy(kernel0, fft_shape), s=fft_shape)
+    f1 = np.fft.fft2(_origin_centered_numpy(kernel1, fft_shape), s=fft_shape)
     a = 0.5 * (f0 + f1)
     b = 0.5 * (f0 - f1)
     # complex host->device transfers are unimplemented on some remote

@@ -27,10 +27,11 @@ import jax.numpy as jnp
 
 from ..loss import poisson_nll
 from ..ops.fft import (
-    convolve_fft,
+    _complex_on_device,
+    convolve_fft_numpy,
     convolve_fft_packed_pair,
     convolve_fft_precomputed,
-    kernel_fft,
+    kernel_fft_numpy,
     kernel_fft_pair,
 )
 from ..ops.image import shift_image, sum_pool, upsample_bilinear
@@ -144,24 +145,38 @@ class StackedPoissonLoss:
             factor = component.upsampling_factor or 1
             component_factors.append(factor)
 
+            # build-time preprocessing stays host-side (numpy): each
+            # eager device op costs a dispatch round-trip on remotely
+            # attached chips, and these run once per dataset build
             exp_list, psf_list = [], []
             for dataset in datasets.values():
                 psf = dataset["psf"]
                 if isinstance(psf, dict):
                     psf = psf[name]
 
-                exposure = jnp.asarray(
-                    np.asarray(dataset["exposure"])[None, None], jnp.float32
-                )
-                psf = jnp.asarray(np.asarray(psf)[None, None], jnp.float32)
+                exposure = np.asarray(dataset["exposure"], np.float32)[
+                    None, None
+                ]
+                psf = np.asarray(psf, np.float32)[None, None]
                 if factor > 1:
-                    exposure = upsample_bilinear(exposure, factor)
-                    psf = upsample_bilinear(psf, factor) / factor**2
+                    # bilinear upsampling matches the device op exactly
+                    # (single round-trip per observation)
+                    exposure = np.asarray(
+                        upsample_bilinear(jnp.asarray(exposure), factor)
+                    )
+                    psf = (
+                        np.asarray(upsample_bilinear(jnp.asarray(psf), factor))
+                        / factor**2
+                    )
 
                 if correct_exposure_edges:
                     # edge correction (reference npred.py:108-113)
-                    weights_im = convolve_fft(jnp.ones_like(exposure), psf)
-                    exposure = exposure / weights_im
+                    weights_im = convolve_fft_numpy(
+                        np.ones_like(exposure), psf
+                    )
+                    exposure = np.asarray(
+                        exposure / weights_im, np.float32
+                    )
 
                 exp_list.append(exposure)
                 psf_list.append(psf)
@@ -176,11 +191,14 @@ class StackedPoissonLoss:
                 )
 
             kfts = [
-                kernel_fft(psf, image_shape, common_fft_shape)
+                kernel_fft_numpy(psf, image_shape, common_fft_shape)
                 for psf in psf_list
             ]
-            exposures[name] = jnp.stack(exp_list)
-            psf_ffts[name] = jnp.stack(kfts)
+            exposures[name] = jnp.asarray(np.stack(exp_list))
+            psf_ffts[name] = _complex_on_device(
+                np.stack([re for re, _ in kfts]),
+                np.stack([im for _, im in kfts]),
+            )
 
             if conv_mode == "fft" and len(psf_list) >= 2:
                 # pair-packed full-spectrum kernels: two real
