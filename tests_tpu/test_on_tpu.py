@@ -1,0 +1,202 @@
+"""Compiled-TPU correctness tests (VERDICT round-1 task #2).
+
+Mirrors the reference's hardware-gated pattern
+(`/root/reference/jolideco/utils/testing.py:4-16`, used at
+`tests/test_core.py:284-313` there) for the TPU backend.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from jolideco_tpu.utils.testing import requires_device
+
+
+@pytest.fixture(scope="module")
+def gmm():
+    from jolideco_tpu.priors import GaussianMixtureModel
+
+    return GaussianMixtureModel.from_registry("builtin-8x8-v1")
+
+
+@pytest.fixture(scope="module")
+def patches():
+    rs = np.random.RandomState(0)
+    x = rs.rand(1000, 64).astype(np.float32) - 0.5
+    x -= x.mean(axis=1, keepdims=True)
+    return jnp.asarray(x)
+
+
+@requires_device("tpu")
+@pytest.mark.parametrize(
+    "precision,rtol",
+    [
+        (lax.Precision.HIGHEST, 2e-5),
+        (lax.Precision.HIGH, 3e-4),
+        (lax.Precision.DEFAULT, 5e-2),
+    ],
+)
+def test_pallas_kernel_compiled_matches_f64(gmm, patches, precision, rtol):
+    """Compiled (Mosaic) kernel vs the float64 numpy reference at all
+    three MXU precision modes, MAP and marginalise."""
+    from jolideco_tpu.ops.gmm_pallas import gmm_score_pallas
+
+    args = (gmm.packed, gmm.means_precisions_cholesky,
+            gmm.precisions_cholesky, gmm.pixel_weights)
+    ref = np.asarray(gmm.estimate_log_prob_numpy(np.asarray(patches)))
+
+    values, argmax = jax.jit(
+        lambda x: gmm_score_pallas(x, *args, False, precision, False)
+    )(patches)
+    assert_allclose(np.asarray(values), ref.max(axis=1), rtol=rtol)
+    if precision != lax.Precision.DEFAULT:
+        assert (np.asarray(argmax) == ref.argmax(axis=1)).all()
+
+    lse_ref = ref.max(1) + np.log(
+        np.exp(ref - ref.max(1, keepdims=True)).sum(1)
+    )
+    values_m, _ = jax.jit(
+        lambda x: gmm_score_pallas(x, *args, False, precision, True)
+    )(patches)
+    assert_allclose(np.asarray(values_m), lse_ref, rtol=rtol)
+
+
+@requires_device("tpu")
+@pytest.mark.parametrize("marginalize", [False, True])
+def test_pallas_gradient_compiled_matches_scan(gmm, patches, marginalize):
+    """Compiled backward kernels (one-hot / softmax MXU selection,
+    incl. VMEM sizing) vs the XLA scan gradient."""
+    from jolideco_tpu.ops.gmm_pallas import gmm_score_pallas
+    from jolideco_tpu.ops.gmm_score import gmm_score
+
+    args = (gmm.packed, gmm.means_precisions_cholesky,
+            gmm.precisions_cholesky, gmm.pixel_weights)
+
+    g_pallas = np.asarray(jax.jit(jax.grad(
+        lambda x: gmm_score_pallas(
+            x, *args, False, lax.Precision.HIGHEST, marginalize
+        )[0].sum()
+    ))(patches))
+    g_scan = np.asarray(jax.jit(jax.grad(
+        lambda x: gmm_score(
+            x,
+            gmm.means_precisions_cholesky,
+            gmm.precisions_cholesky,
+            gmm.log_det_cholesky,
+            gmm.log_weights,
+            gmm.pixel_weights,
+            marginalize=marginalize,
+            precision=lax.Precision.HIGHEST,
+        )[0].sum()
+    ))(patches))
+    scale = np.abs(g_scan).max()
+    atol = 3e-2 if marginalize else 1e-4  # f32 softmax conditioning
+    assert_allclose(g_pallas / scale, g_scan / scale, atol=atol)
+
+
+@requires_device("tpu")
+def test_e2e_gmm_training_on_tpu():
+    """Short end-to-end GMM-prior run, compiled scan on the chip."""
+    from jolideco_tpu import (
+        FluxComponents,
+        GMMPatchPrior,
+        GaussianMixtureModel,
+        MAPDeconvolver,
+        SpatialFluxComponent,
+    )
+    from jolideco_tpu.data import gauss_and_point_sources_gauss_psf
+
+    rs = np.random.RandomState(642020)
+    datasets = {
+        f"o{i}": gauss_and_point_sources_gauss_psf(
+            shape=(64, 64), random_state=rs
+        )
+        for i in range(3)
+    }
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((64, 64), np.float32),
+        prior=GMMPatchPrior(
+            gmm=GaussianMixtureModel.from_registry("builtin-8x8-v1")
+        ),
+    )
+    deco = MAPDeconvolver(
+        n_epochs=100, learning_rate=0.1, display_progress=False,
+        update_strategy="joint", scan_epochs=True, trace_every=10,
+    )
+    result = deco.run(datasets=datasets, components=components)
+    # the data fit must improve; the total also carries the prior term,
+    # whose value fluctuates with the per-epoch cycle spins
+    fit = np.asarray(result.trace_loss["datasets-total"])
+    assert np.isfinite(result.flux_total).all()
+    assert fit[-1] < fit[0]
+
+
+@requires_device("tpu")
+def test_shard_single_device_mesh_noop():
+    """shard() on a 1-device mesh is a numerical no-op."""
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.data import gauss_and_point_sources_gauss_psf
+    from jolideco_tpu.parallel import StackedPoissonLoss, make_obs_mesh
+
+    rs = np.random.RandomState(642020)
+    datasets = {
+        f"o{i}": gauss_and_point_sources_gauss_psf(random_state=rs)
+        for i in range(4)
+    }
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=rs.gamma(20, size=(32, 32))
+    )
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fluxes = components.to_flux_tuple()
+    # pass the loss as a pytree argument: a bound-method closure would
+    # bake the complex PSF spectra in as mlir constants, which needs a
+    # device->host fetch (unimplemented for c64 on remote backends)
+    expected = np.asarray(
+        jax.jit(lambda s, f: s.evaluate(f))(stacked, fluxes)
+    )
+
+    mesh = make_obs_mesh(n_devices=1)
+    sharded = stacked.shard(mesh)
+    got = np.asarray(jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes))
+    assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+@requires_device("tpu")
+def test_packed_fft_compiled_matches_vmap():
+    """Pair-packed FFT path vs per-observation vmap, compiled."""
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.data import gauss_and_point_sources_gauss_psf
+    from jolideco_tpu.parallel import StackedPoissonLoss
+
+    rs = np.random.RandomState(1)
+    datasets = {
+        f"o{i}": gauss_and_point_sources_gauss_psf(random_state=rs)
+        for i in range(5)  # odd: tail path
+    }
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=rs.gamma(20, size=(32, 32))
+    )
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fluxes = components.to_flux_tuple()
+    packed = np.asarray(
+        jax.jit(lambda s, f: s.evaluate(f))(stacked, fluxes)
+    )
+
+    def vmap_path(s, f):
+        per_obs = s._per_obs_fn(f)
+        args = s._stacked_args(None)
+        return jax.vmap(per_obs, in_axes=(0,) * len(args))(*args)
+
+    ref = np.asarray(jax.jit(vmap_path)(stacked, fluxes))
+    assert_allclose(packed, ref, rtol=1e-5, atol=1e-6)
