@@ -620,7 +620,7 @@ class MAPDeconvolver:
             calibrations_init=calibrations_init,
             opt_state=opt_state,
             final_key=jax.random.fold_in(key, self.n_epochs),
-            wcs=None,
+            wcs=components.wcs,
         )
 
     def _run_host_loop(self, epoch_fn, components, total_loss, calibrations,
@@ -774,6 +774,16 @@ class MAPDeconvolverResult:
             key=self._final_key,
             epoch=len(self.trace_loss),
         )
+
+    @property
+    def wcs(self):
+        """World coordinate system of the reconstruction (from the
+        components; reference ``core.py:325-327``)."""
+        if self._wcs is not None:
+            return self._wcs
+        if self._components is not None:
+            return self._components.wcs
+        return None
 
     @property
     def flux_total(self):

@@ -234,11 +234,15 @@ class SpatialFluxComponent:
     # ------------------------------------------------------------------
     def to_dict(self, include_data=None):
         """Serialise configuration (optionally with data arrays)."""
+        from ..utils.wcs import wcs_to_header
+
         data = {}
         data["use_log_flux"] = bool(self.use_log_flux)
         data["upsampling_factor"] = int(self.upsampling_factor)
         data["frozen"] = bool(self.frozen)
         data["prior"] = self.prior.to_dict()
+        if self._wcs is not None:
+            data["wcs"] = wcs_to_header(self._wcs)
 
         if include_data == "numpy":
             data["flux_upsampled"] = self.flux_upsampled_numpy
@@ -256,6 +260,11 @@ class SpatialFluxComponent:
         prior_data = kwargs.pop("prior", None)
         if prior_data:
             kwargs["prior"] = Prior.from_dict(data=prior_data)
+
+        if isinstance(kwargs.get("wcs"), dict):
+            from ..utils.wcs import wcs_from_header
+
+            kwargs["wcs"] = wcs_from_header(kwargs["wcs"])
 
         kwargs["flux_upsampled"] = parse_flux_array(
             value=kwargs["flux_upsampled"], cls=cls
@@ -498,6 +507,10 @@ class SparseSpatialFluxComponent:
         data["x_pos"] = self.x_pos_numpy
         data["y_pos"] = self.y_pos_numpy
         data["prior"] = self.prior.to_dict()
+        if self._wcs is not None:
+            from ..utils.wcs import wcs_to_header
+
+            data["wcs"] = wcs_to_header(self._wcs)
         return data
 
     @classmethod
@@ -507,6 +520,10 @@ class SparseSpatialFluxComponent:
         prior_data = kwargs.pop("prior", None)
         if prior_data:
             kwargs["prior"] = Prior.from_dict(data=prior_data)
+        if isinstance(kwargs.get("wcs"), dict):
+            from ..utils.wcs import wcs_from_header
+
+            kwargs["wcs"] = wcs_from_header(kwargs["wcs"])
         shape = kwargs.pop("shape")
         kwargs["shape"] = tuple(shape)[-2:]
         return cls(
@@ -615,6 +632,14 @@ class FluxComponents(dict):
         for name, component in self.items():
             priors[name] = component.prior
         return priors
+
+    @property
+    def wcs(self):
+        """First non-None component WCS (shared sky frame)."""
+        for component in self.values():
+            if component.wcs is not None:
+                return component.wcs
+        return None
 
     @property
     def flux_upsampled_total(self):

@@ -75,8 +75,14 @@ def sparse_flux_component_to_table_hdu(flux_component, name):
         "flux": np.atleast_1d(data.pop("flux")).astype(np.float64),
     }
 
+    from ..wcs import wcs_to_header
+
     header = {}
+    wcs_cards = wcs_to_header(flux_component.wcs)
+    if wcs_cards:
+        header.update(wcs_cards)
     shape = data.pop("shape")
+    data.pop("wcs", None)
     header["IMSHAPE1"] = int(shape[-2])
     header["IMSHAPE2"] = int(shape[-1])
     _meta_to_header(data, header)
@@ -97,6 +103,12 @@ def sparse_flux_component_from_table_hdu(hdu):
 
         kwargs["prior"] = Prior.from_dict(meta["prior"])
 
+    from ..wcs import SimpleWCS
+
+    wcs = SimpleWCS.from_header(hdu.header)
+    if wcs is not None:
+        kwargs["wcs"] = wcs
+
     return SparseSpatialFluxComponent.from_numpy(
         x_pos=hdu.columns["x_pos"],
         y_pos=hdu.columns["y_pos"],
@@ -109,9 +121,21 @@ def sparse_flux_component_from_table_hdu(hdu):
 
 
 def flux_component_to_image_hdu(flux_component, name):
-    """Dense component -> image HDU."""
+    """Dense component -> image HDU.
+
+    The component's WCS is written as standard FITS WCS keywords in
+    the image header (reference ``utils/io/fits.py:58-59``) — astropy
+    reconstructs an ``astropy.wcs.WCS`` from these directly.
+    """
+    from ..wcs import wcs_to_header
+
     header = {}
-    _meta_to_header(flux_component.to_dict(), header)
+    wcs_cards = wcs_to_header(flux_component.wcs)
+    if wcs_cards:
+        header.update(wcs_cards)
+    meta = flux_component.to_dict()
+    meta.pop("wcs", None)  # written as real WCS cards above
+    _meta_to_header(meta, header)
     return ImageHDU(
         header=header,
         data=flux_component.flux_upsampled_numpy,
@@ -120,11 +144,16 @@ def flux_component_to_image_hdu(flux_component, name):
 
 
 def flux_component_from_image_hdu(hdu):
-    """Image HDU -> dense component."""
+    """Image HDU -> dense component (incl. WCS restoration,
+    reference ``utils/io/fits.py:165``)."""
     from ...models import SpatialFluxComponent
+    from ..wcs import SimpleWCS
 
     data = _meta_from_header(hdu.header)
     data["flux_upsampled"] = np.asarray(hdu.data)
+    wcs = SimpleWCS.from_header(hdu.header)
+    if wcs is not None:
+        data["wcs"] = wcs.to_header()
     return SpatialFluxComponent.from_dict(data=data)
 
 
@@ -270,7 +299,14 @@ def read_flux_component_from_fits(filename, hdu_name=0):
     """Read one flux component from a FITS file."""
     hdulist = read_hdulist(filename)
     if isinstance(hdu_name, int):
-        hdu = hdulist[hdu_name]
+        # binary tables cannot be the primary HDU, so a sparse
+        # component file leads with a data-less primary image — skip
+        # HDUs that carry no payload when indexing
+        with_data = [
+            h for h in hdulist
+            if isinstance(h, BinTableHDU) or h.data is not None
+        ]
+        hdu = with_data[hdu_name]
     else:
         hdu = next(h for h in hdulist if h.name == str(hdu_name).upper())
     if isinstance(hdu, BinTableHDU):

