@@ -100,6 +100,8 @@ def main():
     parser.add_argument("--prior", default="gmm",
                         choices=["gmm", "uniform"],
                         help="diagnostic: swap the prior")
+    parser.add_argument("--marginalize", action="store_true",
+                        help="logsumexp over GMM components instead of max")
     parser.add_argument("--conv-mode", default="fft",
                         choices=["fft", "direct", "mxu"],
                         help="PSF convolution implementation")
@@ -125,7 +127,8 @@ def main():
 
     if args.prior == "gmm":
         gmm = make_bench_gmm(k=args.gmm_k, stride=args.stride)
-        prior = GMMPatchPrior(gmm=gmm, cycle_spin=True)
+        prior = GMMPatchPrior(gmm=gmm, cycle_spin=True,
+                              marginalize=args.marginalize)
     else:
         from jolideco_tpu.priors import UniformPrior
 

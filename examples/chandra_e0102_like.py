@@ -1,0 +1,299 @@
+"""Chandra-E0102-shaped joint deconvolution at real-data scale.
+
+Synthetic analogue of the reference's flagship tutorial
+(``/root/reference/examples/chandra-e0102-filament.py:91-222``), and
+the one artifact covering BASELINE configs 3-5's structural features:
+
+- **24 observations** with per-observation PSF / exposure / background
+  (config 3: joint multi-observation E0102),
+- **ragged PSF sizes** (25-63 pixels) with per-observation width and
+  ellipticity — padded into one stacked FFT shape,
+- **per-observation calibrations**: sub-pixel pointing shifts injected
+  into the simulated counts that the fit must recover; the reference
+  observation's shift is frozen (the tutorial's
+  ``calibrations[ref].shift_xy.requires_grad = False``),
+- **x2 upsampled filament component with the GMM patch prior** plus a
+  **frozen flat background component** (config 4: oversampled flux +
+  multi-component FluxComponents with frozen background).
+
+Run:
+
+    python examples/chandra_e0102_like.py             # full run + report
+    python examples/chandra_e0102_like.py --bench     # one JSON line
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+N_OBS = 24
+SHAPE = (128, 128)  # counts resolution; the filament flux is 256^2
+UPSAMPLING = 2
+N_EPOCHS = 250
+BACKGROUND_LEVEL = 0.1
+
+
+def make_ground_truth(shape, upsampling, rng):
+    """Curved filament + point sources + faint diffuse shell."""
+    size = shape[0] * upsampling
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+
+    # curved filament: an arc with Gaussian cross-section
+    cx, cy, radius = size * 0.45, size * 0.55, size * 0.33
+    r = np.hypot(xx - cx, yy - cy)
+    phi = np.arctan2(yy - cy, xx - cx)
+    arc = np.exp(-0.5 * ((r - radius) / (0.015 * size)) ** 2)
+    arc *= np.exp(-0.5 * ((phi - 0.7) / 0.9) ** 2)
+    flux = 12.0 * arc
+
+    # faint diffuse shell
+    shell = np.exp(-0.5 * ((r - 0.38 * size) / (0.05 * size)) ** 2)
+    flux += 1.5 * shell
+
+    # point sources
+    for _ in range(6):
+        x0, y0 = rng.uniform(0.15 * size, 0.85 * size, 2)
+        amp = rng.uniform(40, 120)
+        flux += amp * np.exp(
+            -0.5 * ((xx - x0) ** 2 + (yy - y0) ** 2) / 0.8
+        )
+    return (flux / upsampling**2).astype(np.float32)
+
+
+def make_psf(size, sigma, ellipticity, angle):
+    """Elliptical Gaussian core + broad wing (Chandra-like)."""
+    half = size // 2
+    yy, xx = np.mgrid[-half:half + 1, -half:half + 1].astype(np.float64)
+    c, s = np.cos(angle), np.sin(angle)
+    u = c * xx + s * yy
+    v = -s * xx + c * yy
+    core = np.exp(-0.5 * ((u / sigma) ** 2 + (v / (sigma * ellipticity)) ** 2))
+    wing = 0.03 * np.exp(-0.5 * (np.hypot(xx, yy) / (3.5 * sigma)) ** 2)
+    psf = core + wing
+    return (psf / psf.sum()).astype(np.float32)
+
+
+def make_datasets(rng):
+    """24 observations: ragged PSFs, vignetted exposures, shifted truth.
+
+    Counts are simulated through the library's OWN forward model
+    (``NPredModels`` with true calibration shifts), so the data are
+    exactly model-realisable and the calibration recovery is
+    well-posed — simulating with a hand-rolled forward (without the
+    exposure edge correction, with integer rolls) leaves systematic
+    residuals that the joint fit chases into a coherent flux/shift
+    drift.
+    """
+    import jax.numpy as jnp
+
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.models import (
+        NPredCalibration,
+        NPredModels,
+    )
+
+    flux_true = make_ground_truth(SHAPE, UPSAMPLING, rng)
+    size = SHAPE[0]
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+    vignetting = 1.0 - 0.3 * (
+        np.hypot(xx - size / 2, yy - size / 2) / size
+    ) ** 2
+
+    truth = FluxComponents()
+    truth["filament-flux"] = SpatialFluxComponent(
+        flux_upsampled=jnp.asarray(flux_true[None, None]),
+        upsampling_factor=UPSAMPLING,
+        use_log_flux=False,
+    )
+    fluxes_true = truth.to_flux_tuple()
+
+    datasets = {}
+    true_shifts = {}
+    for i in range(N_OBS):
+        # ragged odd PSF sizes, per-obs width/ellipticity/orientation
+        psf_size = int(rng.choice([25, 33, 41, 49, 63]))
+        sigma = rng.uniform(1.3, 3.2)
+        psf = make_psf(psf_size, sigma, rng.uniform(0.7, 1.0),
+                       rng.uniform(0, np.pi))
+
+        depth = rng.uniform(0.5, 2.0)
+        exposure = (depth * vignetting).astype(np.float32)
+
+        # sub-pixel pointing error (data pixels)
+        shift = rng.uniform(-0.5, 0.5, 2)
+        true_shifts[f"obs-{i}"] = shift
+
+        dataset = {
+            "counts": np.zeros(SHAPE, np.float32),  # placeholder
+            "psf": psf,
+            "exposure": exposure,
+            "background": np.full(SHAPE, BACKGROUND_LEVEL, np.float32),
+        }
+        calibration = NPredCalibration(
+            shift_x=float(shift[0]), shift_y=float(shift[1])
+        )
+        models = NPredModels.from_dataset_numpy(
+            dataset, truth, calibration=calibration
+        )
+        npred = np.asarray(
+            models.evaluate(fluxes_true, calibration.parameters())
+        )[0, 0]
+        dataset["counts"] = rng.poisson(
+            np.clip(npred, 0, None)
+        ).astype(np.float32)
+        datasets[f"obs-{i}"] = dataset
+    return datasets, flux_true, true_shifts
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--bench", action="store_true",
+                        help="print one JSON timing line and exit")
+    parser.add_argument("--epochs", type=int, default=N_EPOCHS)
+    parser.add_argument("--output", default="e0102-like-result.fits")
+    args = parser.parse_args()
+
+    from jolideco_tpu import (
+        FluxComponents,
+        GMMPatchPrior,
+        GaussianMixtureModel,
+        MAPDeconvolver,
+        SpatialFluxComponent,
+        UniformPrior,
+    )
+    from jolideco_tpu.models import NPredCalibration, NPredCalibrations
+    from jolideco_tpu.utils.wcs import SimpleWCS
+
+    rng = np.random.RandomState(642020)
+    datasets, flux_true, true_shifts = make_datasets(rng)
+
+    gmm = GaussianMixtureModel.from_registry("builtin-8x8-v1")
+
+    # data-driven flux init: the flat start sits in a translation-
+    # degenerate valley (flux and all free shifts slide together for
+    # hundreds of epochs before structure forms); starting from the
+    # stacked background-subtracted counts lands in the right basin
+    flux_init = np.clip(
+        np.mean(
+            [(d["counts"] - d["background"]) / d["exposure"]
+             for d in datasets.values()],
+            axis=0,
+        ),
+        0.05,
+        None,
+    ).astype(np.float32)
+
+    components = FluxComponents()
+    components["filament-flux"] = SpatialFluxComponent.from_numpy(
+        flux=flux_init,
+        prior=GMMPatchPrior(gmm=gmm, stride=4, cycle_spin=True),
+        use_log_flux=True,
+        upsampling_factor=UPSAMPLING,
+        wcs=SimpleWCS({
+            "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
+            "CRVAL1": 16.0175, "CRVAL2": -72.0319,   # 1E 0102.2-7219
+            "CRPIX1": SHAPE[1] / 2, "CRPIX2": SHAPE[0] / 2,
+            "CDELT1": -1.37e-4, "CDELT2": 1.37e-4,
+        }),
+    )
+    # frozen flat background component (BASELINE config 4)
+    components["background-flux"] = SpatialFluxComponent.from_numpy(
+        flux=np.full(SHAPE, BACKGROUND_LEVEL, np.float32),
+        prior=UniformPrior(),
+        use_log_flux=True,
+        frozen=True,
+    )
+    # one PSF per component per observation
+    for dataset in datasets.values():
+        psf = dataset["psf"]
+        dataset["psf"] = {
+            "filament-flux": psf, "background-flux": psf,
+        }
+
+    calibrations = NPredCalibrations()
+    for idx, name in enumerate(datasets):
+        calibrations[name] = NPredCalibration(
+            background_norm=1.0,
+            frozen_shift=(idx == 0),  # reference observation
+        )
+
+    def make_deco(n_epochs):
+        return MAPDeconvolver(
+            n_epochs=n_epochs,
+            learning_rate=0.1,
+            beta=1.0,
+            display_progress=False,
+            update_strategy="joint",
+            scan_epochs=True,
+            scan_chunk=50,
+            trace_every=0 if args.bench else 25,
+        )
+
+    # Two-stage fit: pointing shifts and a flat flux start are
+    # degenerate (every observation can drift together against a
+    # translating flux), so the flux warms up first and the
+    # calibrations join once there is structure to register against.
+    n_warmup = max(args.epochs // 3, 1)
+    t0 = time.time()
+    make_deco(n_warmup).run(datasets=datasets, components=components)
+    result = make_deco(args.epochs - n_warmup).run(
+        datasets=datasets, components=components, calibrations=calibrations
+    )
+    flux = result.components["filament-flux"].flux_upsampled_numpy
+    np.asarray(flux)  # device sync
+    elapsed = time.time() - t0
+
+    if args.bench:
+        print(json.dumps({
+            "metric": (
+                f"E0102-like joint {N_OBS}-obs {SHAPE[0]}^2 x{UPSAMPLING} "
+                "upsampling, ragged PSFs, calibrations, GMM prior"
+            ),
+            "value": round(args.epochs / elapsed, 3),
+            "unit": "iters/sec",
+            "elapsed_s": round(elapsed, 2),
+        }))
+        return
+
+    # report: reconstruction quality + recovered calibration shifts
+    corr = np.corrcoef(flux.ravel(), flux_true.ravel())[0, 1]
+    from jolideco_tpu.ops.image import upsample_bilinear
+    import jax.numpy as jnp
+
+    stacked_raw = np.mean(
+        [(d["counts"] - d["background"]) / d["exposure"]
+         for d in datasets.values()],
+        axis=0,
+    )
+    raw_up = np.asarray(
+        upsample_bilinear(jnp.asarray(stacked_raw[None, None]), UPSAMPLING)
+    )[0, 0]
+    corr_raw = np.corrcoef(raw_up.ravel(), flux_true.ravel())[0, 1]
+    print(f"{args.epochs} epochs, {N_OBS} obs: {elapsed:.1f} s "
+          f"({args.epochs / elapsed:.1f} it/s)")
+    print(f"correlation with truth: deconvolved {corr:.4f} vs "
+          f"stacked raw counts {corr_raw:.4f}")
+
+    shift_errors = []
+    for idx, name in enumerate(datasets):
+        if idx == 0:
+            continue
+        fitted = np.asarray(result.calibrations[name].shift_xy)[0]
+        true = true_shifts[name] - true_shifts["obs-0"]
+        shift_errors.append(np.abs(fitted - true))
+    print(f"calibration shift recovery: mean |err| = "
+          f"{np.mean(shift_errors):.3f} px (relative to the frozen "
+          "reference observation)")
+
+    result.write(args.output, overwrite=True)
+    print(f"result written to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Fermi-LAT Vela-Junior-shaped joint deconvolution (BASELINE config 5).
+
+Synthetic analogue of the reference's second real-data tutorial
+(``/root/reference/examples/fermi-vela-junior.py``): one shell-type
+supernova remnant observed in **four PSF event classes** with very
+different, LARGE PSF kernels (the Fermi-LAT PSF above 10 GeV spans
+arcminutes — kernels comparable to the source), joint-deconvolved into
+one shared flux, plus a **multi-energy-band** section with per-band
+PSFs and an RMF (energy redistribution) forward model.
+
+Run:
+
+    python examples/fermi_vela_junior_like.py
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+SHAPE = (160, 160)
+N_EVENT_CLASSES = 4
+N_EPOCHS = 250
+
+
+def king_psf(size, r_core, gamma):
+    """King profile — the Fermi-LAT PSF parameterisation."""
+    half = size // 2
+    yy, xx = np.mgrid[-half:half + 1, -half:half + 1]
+    r2 = (xx**2 + yy**2) / r_core**2
+    psf = (1 - 1 / gamma) * (1 + r2 / (2 * gamma)) ** (-gamma)
+    return (psf / psf.sum()).astype(np.float32)
+
+
+def make_shell(shape, rng):
+    """Vela-Junior-like shell with brightened rims and knots."""
+    size = shape[0]
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+    r = np.hypot(xx - size / 2, yy - size / 2)
+    phi = np.arctan2(yy - size / 2, xx - size / 2)
+    shell = np.exp(-0.5 * ((r - 0.3 * size) / (0.02 * size)) ** 2)
+    # azimuthal brightness modulation (bright NW rim)
+    shell *= 1.0 + 0.8 * np.cos(phi - 2.3) ** 2
+    flux = 3.0 * shell + 0.2 * np.exp(-r / (0.4 * size))
+    for _ in range(4):
+        x0, y0 = rng.uniform(0.25 * size, 0.75 * size, 2)
+        flux += rng.uniform(10, 25) * np.exp(
+            -((xx - x0) ** 2 + (yy - y0) ** 2) / 2.0
+        )
+    return flux.astype(np.float32)
+
+
+def simulate(dataset, flux_true, rng):
+    """Counts through the library's own forward model."""
+    import jax.numpy as jnp
+
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.models import NPredModels
+
+    truth = FluxComponents()
+    truth["vela-junior"] = SpatialFluxComponent(
+        flux_upsampled=jnp.asarray(flux_true[None, None]),
+        use_log_flux=False,
+    )
+    models = NPredModels.from_dataset_numpy(dataset, truth)
+    npred = np.asarray(models.evaluate(truth.to_flux_tuple()))[0, 0]
+    return rng.poisson(np.clip(npred, 0, None)).astype(np.float32)
+
+
+def main():
+    from jolideco_tpu import (
+        FluxComponents,
+        GMMPatchPrior,
+        GaussianMixtureModel,
+        MAPDeconvolver,
+        SpatialFluxComponent,
+    )
+
+    rng = np.random.RandomState(98)
+    flux_true = make_shell(SHAPE, rng)
+
+    # four event classes: PSF quality from sharp (psf3) to terrible
+    # (psf0), kernel sizes up to ~the source diameter
+    datasets = {}
+    psf_params = [(12.0, 2.2, 129), (7.0, 2.5, 101), (3.5, 2.8, 65),
+                  (1.8, 3.0, 49)]
+    for i, (r_core, gamma, size) in enumerate(psf_params):
+        dataset = {
+            "counts": np.zeros(SHAPE, np.float32),
+            "psf": king_psf(size, r_core, gamma),
+            "exposure": np.full(SHAPE, 4.0, np.float32),
+            "background": np.full(SHAPE, 0.3, np.float32),
+        }
+        dataset["counts"] = simulate(dataset, flux_true, rng)
+        datasets[f"vela-junior-psf{i}"] = dataset
+
+    # data-driven init: start from the stacked background-subtracted
+    # counts (the flat start needs many hundreds of extra epochs)
+    flux_init = np.clip(
+        np.mean(
+            [(d["counts"] - d["background"]) / d["exposure"]
+             for d in datasets.values()],
+            axis=0,
+        ),
+        0.05,
+        None,
+    ).astype(np.float32)
+
+    components = FluxComponents()
+    components["vela-junior"] = SpatialFluxComponent.from_numpy(
+        flux=flux_init,
+        prior=GMMPatchPrior(
+            gmm=GaussianMixtureModel.from_registry("builtin-8x8-v1"),
+            stride=4,
+        ),
+        use_log_flux=True,
+    )
+
+    deco = MAPDeconvolver(
+        n_epochs=N_EPOCHS, learning_rate=0.1, beta=1.0,
+        display_progress=False, update_strategy="joint",
+        scan_epochs=True, scan_chunk=50, trace_every=25,
+    )
+    t0 = time.time()
+    result = deco.run(datasets=datasets, components=components)
+    flux = result.flux_total
+    np.asarray(flux)
+    elapsed = time.time() - t0
+
+    corr = np.corrcoef(flux.ravel(), flux_true.ravel())[0, 1]
+    stacked_raw = np.mean(
+        [(d["counts"] - d["background"]) / d["exposure"]
+         for d in datasets.values()],
+        axis=0,
+    )
+    corr_raw = np.corrcoef(stacked_raw.ravel(), flux_true.ravel())[0, 1]
+    print(f"{N_EPOCHS} epochs, {N_EVENT_CLASSES} event classes "
+          f"(kernels up to 129^2): {elapsed:.1f} s "
+          f"({N_EPOCHS / elapsed:.1f} it/s)")
+    print(f"correlation with truth: deconvolved {corr:.4f} vs "
+          f"stacked raw counts {corr_raw:.4f}")
+
+    # ------------------------------------------------------------------
+    # multi-energy-band forward model with RMF (energy redistribution):
+    # three bands, per-band PSF widths, 20% of counts migrating to the
+    # neighbouring band — the reference's NPredModel rmf semantics
+    # (reference models/npred.py:186-189)
+    import jax.numpy as jnp
+
+    from jolideco_tpu.models import NPredModel
+
+    n_bands = 3
+    psf_bands = np.stack(
+        [king_psf(33, 1.5 + 2.0 * b, 2.5) for b in range(n_bands)]
+    )
+    rmf = np.array([
+        [0.8, 0.2, 0.0],
+        [0.1, 0.8, 0.1],
+        [0.0, 0.2, 0.8],
+    ], np.float32)
+    npred_model = NPredModel(
+        exposure=jnp.asarray(
+            np.broadcast_to(np.full(SHAPE, 4.0, np.float32),
+                            (1, n_bands) + SHAPE)
+        ),
+        psf=jnp.asarray(psf_bands[None]),
+        rmf=jnp.asarray(rmf),
+    )
+    flux_3d = jnp.asarray(
+        np.stack([flux_true * w for w in (1.0, 0.5, 0.2)])[None]
+    )
+    npred = np.asarray(npred_model(flux=flux_3d))[0]
+    print(f"multi-band RMF forward: flux {flux_3d.shape} -> npred "
+          f"{npred.shape}, band sums {npred.sum(axis=(1, 2)).round(0)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -300,24 +300,29 @@ class NPredCalibration:
     """
 
     def __init__(self, shift_x=0.0, shift_y=0.0, background_norm=1.0,
-                 psf_scale=1.0, frozen=False, weight=1.0):
+                 psf_scale=1.0, frozen=False, frozen_shift=False, weight=1.0):
         self.shift_xy = jnp.asarray([[shift_x, shift_y]], jnp.float32)
         self._background_norm = jnp.asarray(
             [np.log(background_norm)], jnp.float32
         )
         self.psf_scale_value = float(psf_scale)
         self.frozen = bool(frozen)
+        # reference parity: the E0102 tutorial freezes only the shift
+        # of the reference observation (example line
+        # `calibrations[ref].shift_xy.requires_grad = False`)
+        self.frozen_shift = bool(frozen_shift)
         self.weight = float(weight)
 
     # ------------------------------------------------------------------
     def parameters(self):
-        """Trainable leaves; empty when frozen."""
+        """Trainable leaves; empty when frozen; the shift is excluded
+        when only the shift is frozen."""
         if self.frozen:
             return {}
-        return {
-            "shift_xy": self.shift_xy,
-            "log_background_norm": self._background_norm,
-        }
+        params = {"log_background_norm": self._background_norm}
+        if not self.frozen_shift:
+            params["shift_xy"] = self.shift_xy
+        return params
 
     def set_parameters(self, params):
         """Write back trained values."""
@@ -366,6 +371,7 @@ class NPredCalibration:
             "background_norm": float(np.exp(np.asarray(self._background_norm))[0]),
             "psf_scale": float(self.psf_scale_value),
             "frozen": bool(self.frozen),
+            "frozen_shift": bool(self.frozen_shift),
             "weight": float(self.weight),
         }
 
@@ -381,7 +387,7 @@ class NPredCalibration:
 register_pytree(
     NPredCalibration,
     children_attrs=("shift_xy", "_background_norm"),
-    aux_attrs=("psf_scale_value", "frozen", "weight"),
+    aux_attrs=("psf_scale_value", "frozen", "frozen_shift", "weight"),
 )
 
 

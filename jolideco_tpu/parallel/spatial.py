@@ -65,10 +65,13 @@ def shard_stacked_spatial(stacked, mesh):
         value = getattr(stacked, attr)
         if value is not None:
             setattr(new, attr, jax.tree_util.tree_map(place, value))
-    # per-obs scalars shard on obs only
-    new.stirling = jax.device_put(
-        stacked.stirling, NamedSharding(mesh, P("obs"))
-    )
+    # per-obs scalars/vectors shard on obs only
+    obs_only = NamedSharding(mesh, P("obs"))
+    new.stirling = jax.device_put(stacked.stirling, obs_only)
+    for attr in ("static_shifts", "static_log_norms"):
+        value = getattr(stacked, attr)
+        if value is not None:
+            setattr(new, attr, jax.device_put(value, obs_only))
     if stacked.dft_tables is not None:
         new.dft_tables = jax.tree_util.tree_map(
             lambda leaf: jax.device_put(leaf, replicated),

@@ -56,10 +56,11 @@ class StackedPoissonLoss:
     loss_function = staticmethod(poisson_nll)
 
     def __init__(self, counts, background, exposures, psf_ffts, names_all,
-                 component_factors, fft_shape, has_calibration=False,
+                 component_factors, fft_shape, component_names=None,
+                 has_calibration=False,
                  weights=None, psf_scales=None, psfs=None, conv_mode="fft",
                  dft_tables=None, mxu_fft_shape=None, pair_kernels=None,
-                 sharded=False):
+                 sharded=False, static_shifts=None, static_log_norms=None):
         self.counts = counts
         self.background = background
         self.exposures = dict(exposures)
@@ -75,6 +76,14 @@ class StackedPoissonLoss:
         self.stirling = jax.vmap(stirling_term_mean)(counts)
         self.names_all = tuple(names_all)
         self.component_factors = tuple(component_factors)
+        # canonical component order: dict pytree children re-sort by
+        # KEY on unflatten inside jit, so iteration must be keyed on
+        # this insertion-order aux tuple (matching the fluxes tuple)
+        self.component_names = (
+            tuple(component_names)
+            if component_names is not None
+            else tuple(exposures)
+        )
         self.fft_shape = tuple(fft_shape)
         self.has_calibration = bool(has_calibration)
         self.conv_mode = str(conv_mode)
@@ -82,6 +91,10 @@ class StackedPoissonLoss:
         self.psf_scales = tuple(psf_scales) if psf_scales is not None else None
         self.pair_kernels = dict(pair_kernels) if pair_kernels else None
         self.sharded = bool(sharded)
+        # per-observation calibration values used when a calibration is
+        # (partially) frozen and therefore absent from the params pytree
+        self.static_shifts = static_shifts
+        self.static_log_norms = static_log_norms
 
     @property
     def n_datasets(self):
@@ -271,9 +284,19 @@ class StackedPoissonLoss:
         has_calibration = bool(calibrations)
         weights = None
         psf_scales = None
+        static_shifts = None
+        static_log_norms = None
         if calibrations:
             weights = [calibrations[n].weight for n in names]
             psf_scales = [calibrations[n].psf_scale_value for n in names]
+            static_shifts = jnp.asarray(
+                np.stack([np.asarray(calibrations[n].shift_xy)
+                          for n in names])
+            )
+            static_log_norms = jnp.asarray(
+                np.stack([np.asarray(calibrations[n]._background_norm)
+                          for n in names])
+            )
 
         return cls(
             counts=counts,
@@ -282,6 +305,7 @@ class StackedPoissonLoss:
             psf_ffts=psf_ffts,
             names_all=names,
             component_factors=component_factors,
+            component_names=list(components),
             fft_shape=common_fft_shape,
             has_calibration=has_calibration,
             weights=weights,
@@ -291,20 +315,34 @@ class StackedPoissonLoss:
             dft_tables=mxu_tables,
             mxu_fft_shape=mxu_shape_common,
             pair_kernels=pair_kernels or None,
+            static_shifts=static_shifts,
+            static_log_norms=static_log_norms,
         )
 
     # ------------------------------------------------------------------
     def _stack_calibration_params(self, calibration_params):
-        """Dict-of-dicts calibration params -> stacked arrays (N, ...)."""
+        """Dict-of-dicts calibration params -> stacked arrays (N, ...).
+
+        (Partially) frozen calibrations contribute their STATIC values
+        captured at build time — round 1 silently substituted zeros,
+        which was wrong for any frozen calibration with a non-default
+        shift or background norm.
+        """
         shifts, log_norms = [], []
-        for name in self.names_all:
-            cal = (calibration_params or {}).get(name)
-            if cal is None:
-                shifts.append(jnp.zeros((1, 2), jnp.float32))
-                log_norms.append(jnp.zeros((1,), jnp.float32))
-            else:
+        for idx, name in enumerate(self.names_all):
+            cal = (calibration_params or {}).get(name) or {}
+            if "shift_xy" in cal:
                 shifts.append(cal["shift_xy"])
+            elif self.static_shifts is not None:
+                shifts.append(self.static_shifts[idx])
+            else:
+                shifts.append(jnp.zeros((1, 2), jnp.float32))
+            if "log_background_norm" in cal:
                 log_norms.append(cal["log_background_norm"])
+            elif self.static_log_norms is not None:
+                log_norms.append(self.static_log_norms[idx])
+            else:
+                log_norms.append(jnp.zeros((1,), jnp.float32))
         return jnp.stack(shifts), jnp.stack(log_norms)
 
     def _per_obs_fn(self, fluxes):
@@ -357,10 +395,10 @@ class StackedPoissonLoss:
         direct = self.conv_mode == "direct" and self.psfs is not None
         mxu = self.conv_mode == "mxu" and self.psfs is not None
         if direct or mxu:
-            kernels = [self.psfs[k] for k in self.psfs]
+            kernels = [self.psfs[k] for k in self.component_names]
         else:
-            kernels = [self.psf_ffts[k] for k in self.psf_ffts]
-        exposures = [self.exposures[k] for k in self.exposures]
+            kernels = [self.psf_ffts[k] for k in self.component_names]
+        exposures = [self.exposures[k] for k in self.component_names]
 
         if self.has_calibration:
             shifts, log_norms = self._stack_calibration_params(
@@ -410,7 +448,7 @@ class StackedPoissonLoss:
             log_norms = None
 
         npred = jnp.zeros_like(self.background)
-        for idx, name in enumerate(self.exposures):
+        for idx, name in enumerate(self.component_names):
             flux = fluxes[idx]
             factor = self.component_factors[idx]
             exposure = self.exposures[name]            # (N, 1, C, H', W')
@@ -478,7 +516,8 @@ class StackedPoissonLoss:
 
         new = _copy.copy(self)
         for attr in ("counts", "background", "exposures", "psf_ffts",
-                     "psfs", "stirling"):
+                     "psfs", "stirling", "static_shifts",
+                     "static_log_norms"):
             value = getattr(self, attr)
             if value is not None:
                 setattr(new, attr, shard_stacked(value, mesh))
@@ -494,10 +533,12 @@ class StackedPoissonLoss:
 register_pytree(
     StackedPoissonLoss,
     children_attrs=("counts", "background", "exposures", "psf_ffts", "psfs",
-                    "stirling", "dft_tables", "pair_kernels"),
+                    "stirling", "dft_tables", "pair_kernels",
+                    "static_shifts", "static_log_norms"),
     aux_attrs=(
         "names_all",
         "component_factors",
+        "component_names",
         "fft_shape",
         "mxu_fft_shape",
         "has_calibration",

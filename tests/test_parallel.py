@@ -445,3 +445,106 @@ def test_sharded_path_disables_packing(datasets, components):
     assert sharded.sharded and sharded.pair_kernels is None
     got = np.asarray(jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes))
     assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_frozen_calibrations_use_static_values():
+    """(Partially) frozen calibrations contribute their stored values
+    in the stacked path (round 1 silently substituted zeros)."""
+    from jolideco_tpu.models import NPredCalibration, NPredCalibrations
+
+    rs = np.random.RandomState(7)
+    datasets = {}
+    for i in range(2):
+        datasets[f"o{i}"] = {
+            "counts": rs.poisson(5.0, (32, 32)).astype(np.float32),
+            "psf": np.ones((5, 5), np.float32) / 25.0,
+            "exposure": np.ones((32, 32), np.float32),
+            "background": np.full((32, 32), 2.0, np.float32),
+        }
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=rs.gamma(20, size=(32, 32))
+    )
+    fluxes = components.to_flux_tuple()
+
+    def build(frozen, frozen_shift):
+        cals = NPredCalibrations()
+        cals["o0"] = NPredCalibration(
+            shift_x=0.4, shift_y=-0.3, background_norm=1.7,
+            frozen=frozen, frozen_shift=frozen_shift,
+        )
+        cals["o1"] = NPredCalibration()
+        return cals
+
+    # reference: fully-trainable calibration with those values
+    cals_free = build(frozen=False, frozen_shift=False)
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, calibrations=cals_free
+    )
+    expected = np.asarray(
+        stacked.evaluate(fluxes, cals_free.parameters())
+    )
+
+    # fully frozen: no params at all, static values must apply
+    cals_frozen = build(frozen=True, frozen_shift=False)
+    assert cals_frozen.parameters().get("o0", {}) == {}
+    stacked_frozen = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, calibrations=cals_frozen
+    )
+    got = np.asarray(
+        stacked_frozen.evaluate(fluxes, cals_frozen.parameters())
+    )
+    assert_allclose(got, expected, rtol=1e-6)
+
+    # frozen shift only: shift static, norm trainable (reference E0102
+    # pattern: calibrations[ref].shift_xy.requires_grad = False)
+    cals_fs = build(frozen=False, frozen_shift=True)
+    params = cals_fs.parameters()
+    assert "shift_xy" not in params["o0"]
+    assert "log_background_norm" in params["o0"]
+    stacked_fs = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, calibrations=cals_fs
+    )
+    got_fs = np.asarray(stacked_fs.evaluate(fluxes, params))
+    assert_allclose(got_fs, expected, rtol=1e-6)
+
+
+def test_multi_component_order_survives_jit():
+    """Component names that sort differently than their insertion
+    order must stay paired with their fluxes through jit (dict pytree
+    children re-sort by key on unflatten; regression: a 'background-*'
+    component before a 'filament-*' component swapped exposures)."""
+    rs = np.random.RandomState(8)
+    psf = np.ones((5, 5), np.float32) / 25.0
+    datasets = {
+        "o0": {
+            "counts": rs.poisson(5.0, (32, 32)).astype(np.float32),
+            "psf": {"zz-first": psf, "aa-second": psf},
+            "exposure": np.ones((32, 32), np.float32),
+            "background": np.full((32, 32), 0.1, np.float32),
+        },
+        "o1": {
+            "counts": rs.poisson(5.0, (32, 32)).astype(np.float32),
+            "psf": {"zz-first": psf, "aa-second": psf},
+            "exposure": np.ones((32, 32), np.float32),
+            "background": np.full((32, 32), 0.1, np.float32),
+        },
+    }
+    components = FluxComponents()
+    # insertion order is the reverse of sorted order, AND the two
+    # components have different shapes (upsampling) so a swap is loud
+    components["zz-first"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((32, 32), np.float32), upsampling_factor=2
+    )
+    components["aa-second"] = SpatialFluxComponent.from_numpy(
+        flux=np.full((32, 32), 0.1, np.float32), frozen=True
+    )
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fluxes = components.to_flux_tuple()
+    eager = np.asarray(stacked.evaluate(fluxes))
+    jitted = np.asarray(
+        jax.jit(lambda s, f: s.evaluate(f))(stacked, fluxes)
+    )
+    assert_allclose(jitted, eager, rtol=1e-6)
