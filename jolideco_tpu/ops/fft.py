@@ -16,8 +16,11 @@ All functions operate on ``(..., H, W)`` arrays with static shapes so they
 jit and vmap cleanly over observation axes.
 """
 
+from functools import partial
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -25,6 +28,8 @@ __all__ = [
     "kernel_fft",
     "kernel_fft_numpy",
     "kernel_fft_pair",
+    "build_kernel_stack",
+    "upsample_center_pad_kernels",
     "convolve_fft",
     "convolve_fft_numpy",
     "convolve_fft_precomputed",
@@ -231,6 +236,112 @@ def convolve_fft_packed_pair(x0, x1, a, b, fft_shape):
     z_rev = jnp.roll(jnp.flip(z, axis=(-2, -1)), shift=(1, 1), axis=(-2, -1))
     y = jnp.fft.ifft2(a * z + b * jnp.conj(z_rev))
     return jnp.real(y)[..., :h, :w], jnp.imag(y)[..., :h, :w]
+
+
+@partial(jax.jit, static_argnames=("factor", "out_shape"))
+def upsample_center_pad_kernels(kernels, *, factor, out_shape):
+    """Upsample a same-size kernel stack and center-pad to ``out_shape``.
+
+    Batched device twin of the reference's per-PSF build preprocessing
+    (reference ``models/npred.py:96-106``): bilinear ×``factor``
+    upsampling with the ``1/factor²`` flux renormalisation, then zero
+    padding placed so each kernel's center pixel ``(k - 1) // 2`` lands
+    on the center pixel of ``out_shape``. Ragged PSF sizes group by
+    shape, pass through here per group, and concatenate — the padded
+    stack embeds into the FFT grid identically to per-kernel
+    origin-centered embedding (:func:`_origin_centered` with the common
+    center then places every original center at (0, 0)).
+    """
+    from .image import upsample_bilinear
+
+    if factor and factor > 1:
+        kernels = upsample_bilinear(kernels, factor) / factor**2
+    kh, kw = kernels.shape[-2], kernels.shape[-1]
+    top = (out_shape[0] - 1) // 2 - (kh - 1) // 2
+    left = (out_shape[1] - 1) // 2 - (kw - 1) // 2
+    pad = [(0, 0)] * (kernels.ndim - 2) + [
+        (top, out_shape[0] - kh - top),
+        (left, out_shape[1] - kw - left),
+    ]
+    return jnp.pad(kernels, pad)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("factor", "fft_shape", "correct_edges", "n_pairs"),
+)
+def build_kernel_stack(kernels, exposures, *, factor, fft_shape,
+                       correct_edges, n_pairs):
+    """One-dispatch device build of the stacked convolution operators.
+
+    Replaces the host-side (numpy FFT) per-observation build loop: at
+    benchmark scale (10 obs, 1024², 33² PSFs) the host loop cost ~7 s
+    per :meth:`StackedPoissonLoss.from_datasets` — 2.7 s of float64
+    pocketfft plus float64→float32 casts, stacks and transfers — while
+    this batched jit runs in ~0.1 s on a TPU v5e and ships only the raw
+    float32 stacks across the tunnel.
+
+    Parameters
+    ----------
+    kernels : array ``(n, 1, 1, KH, KW)``
+        PSF stack, already upsampled and center-aligned to a common
+        size (:func:`upsample_center_pad_kernels`).
+    exposures : array ``(n, 1, 1, h, w)``
+        Raw exposure stack (pre-upsampling).
+    factor : int
+        Component upsampling factor (static).
+    fft_shape : tuple of int
+        Common FFT shape (static), ≥ upsampled image + kernel − 1.
+    correct_edges : bool
+        Divide exposures by ``ones ∗ psf`` (reference
+        ``models/npred.py:108-113``).
+    n_pairs : int
+        Number of observation pairs to pack into full-spectrum complex
+        kernels for :func:`convolve_fft_packed_pair` (0 disables).
+
+    Returns
+    -------
+    kft : complex array ``(n, 1, 1, fh, fw // 2 + 1)``
+        Origin-centered kernel rFFTs (:func:`kernel_fft` semantics).
+    exposures : array ``(n, 1, 1, H, W)``
+        Upsampled, edge-corrected exposures.
+    pair_a, pair_b : complex arrays ``(n_pairs, 1, 1, fh, fw)`` or None
+        Packed-pair spectra (:func:`kernel_fft_pair` semantics).
+    """
+    from .image import upsample_bilinear
+
+    if factor and factor > 1:
+        exposures = upsample_bilinear(exposures, factor)
+
+    embedded = _origin_centered(kernels, fft_shape)
+    kft = jnp.fft.rfft2(embedded, s=fft_shape)
+
+    if correct_edges:
+        h, w = exposures.shape[-2], exposures.shape[-1]
+        ones_ft = jnp.fft.rfft2(
+            jnp.ones((h, w), exposures.dtype), s=fft_shape
+        )
+        weights = jnp.fft.irfft2(ones_ft * kft, s=fft_shape)[..., :h, :w]
+        exposures = exposures / weights
+
+    pair_a = pair_b = None
+    if n_pairs:
+        # hermitian unpacking of one complex FFT over kernel pairs:
+        # Z = F(k0) + i F(k1)  =>  F0 = (Z + conj(Z~))/2,
+        # F1 = −i (Z − conj(Z~))/2, with Z~[m] = Z[−m mod N]
+        k0 = embedded[0 : 2 * n_pairs : 2]
+        k1 = embedded[1 : 2 * n_pairs : 2]
+        z = jnp.fft.fft2(jax.lax.complex(k0, k1), s=fft_shape)
+        z_rev = jnp.roll(
+            jnp.flip(z, axis=(-2, -1)), shift=(1, 1), axis=(-2, -1)
+        )
+        zc = jnp.conj(z_rev)
+        f0 = 0.5 * (z + zc)
+        f1 = -0.5j * (z - zc)
+        pair_a = 0.5 * (f0 + f1)
+        pair_b = 0.5 * (f0 - f1)
+
+    return kft, exposures, pair_a, pair_b
 
 
 def convolve_fft(image, kernel):

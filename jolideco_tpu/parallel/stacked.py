@@ -28,11 +28,12 @@ import jax.numpy as jnp
 from ..loss import poisson_nll
 from ..ops.fft import (
     _complex_on_device,
+    build_kernel_stack,
     convolve_fft_numpy,
     convolve_fft_packed_pair,
     convolve_fft_precomputed,
     kernel_fft_numpy,
-    kernel_fft_pair,
+    upsample_center_pad_kernels,
 )
 from ..ops.image import shift_image, sum_pool, upsample_bilinear
 from ..utils.pytree import register_pytree
@@ -133,20 +134,20 @@ class StackedPoissonLoss:
                 f"{shapes}"
             )
 
+        # stack raw 2-D arrays and add the broadcast dims as a reshape:
+        # np.stack over pre-expanded (1, 1, H, W) views hits a slow
+        # numpy path (~12x, measured)
         counts = jnp.asarray(
             np.stack(
-                [np.asarray(d["counts"])[None, None] for d in datasets.values()]
-            ),
-            jnp.float32,
+                [np.asarray(d["counts"], np.float32)
+                 for d in datasets.values()]
+            )[:, None, None],
         )
         background = jnp.asarray(
             np.stack(
-                [
-                    np.asarray(d["background"])[None, None]
-                    for d in datasets.values()
-                ]
-            ),
-            jnp.float32,
+                [np.asarray(d["background"], np.float32)
+                 for d in datasets.values()]
+            )[:, None, None],
         )
 
         exposures, psf_ffts, psfs, pair_kernels = {}, {}, {}, {}
@@ -158,9 +159,83 @@ class StackedPoissonLoss:
             factor = component.upsampling_factor or 1
             component_factors.append(factor)
 
-            # build-time preprocessing stays host-side (numpy): each
-            # eager device op costs a dispatch round-trip on remotely
-            # attached chips, and these run once per dataset build
+            if conv_mode == "fft":
+                # batched device build: ship only the raw float32
+                # stacks and compute upsampling, origin-centered kernel
+                # FFTs, edge correction and pair packing in ONE jitted
+                # dispatch (ops.fft.build_kernel_stack) — the previous
+                # host-side (float64 pocketfft) loop cost ~7 s per
+                # build at benchmark scale
+                raw_psfs, raw_exps = [], []
+                for dataset in datasets.values():
+                    psf = dataset["psf"]
+                    if isinstance(psf, dict):
+                        psf = psf[name]
+                    raw_psfs.append(np.asarray(psf, np.float32))
+                    raw_exps.append(
+                        np.asarray(dataset["exposure"], np.float32)
+                    )
+
+                image_shape = tuple(
+                    factor * s for s in raw_exps[0].shape[-2:]
+                )
+                up_shapes = [
+                    (factor * p.shape[-2], factor * p.shape[-1])
+                    for p in raw_psfs
+                ]
+                kmax = (
+                    max(s[0] for s in up_shapes),
+                    max(s[1] for s in up_shapes),
+                )
+                if common_fft_shape is None:
+                    common_fft_shape = (
+                        image_shape[0] + kmax[0] - 1,
+                        image_shape[1] + kmax[1] - 1,
+                    )
+
+                # ragged PSF sizes: upsample + center-pad per shape
+                # group on device, then restore observation order
+                by_shape = {}
+                for idx, psf in enumerate(raw_psfs):
+                    by_shape.setdefault(psf.shape[-2:], []).append(idx)
+                if len(by_shape) == 1:
+                    psfs_common = upsample_center_pad_kernels(
+                        jnp.asarray(np.stack(raw_psfs)[:, None, None]),
+                        factor=factor,
+                        out_shape=kmax,
+                    )
+                else:
+                    groups, order = [], []
+                    for shape, idxs in by_shape.items():
+                        order.extend(idxs)
+                        groups.append(upsample_center_pad_kernels(
+                            jnp.asarray(np.stack(
+                                [raw_psfs[i] for i in idxs]
+                            )[:, None, None]),
+                            factor=factor,
+                            out_shape=kmax,
+                        ))
+                    inverse = np.argsort(order)
+                    psfs_common = jnp.concatenate(groups)[inverse]
+
+                n_obs = len(raw_psfs)
+                n_pairs = n_obs // 2 if n_obs >= 2 else 0
+                kft, exp_stack, pair_a, pair_b = build_kernel_stack(
+                    psfs_common,
+                    jnp.asarray(np.stack(raw_exps)[:, None, None]),
+                    factor=factor,
+                    fft_shape=common_fft_shape,
+                    correct_edges=correct_exposure_edges,
+                    n_pairs=n_pairs,
+                )
+                exposures[name] = exp_stack
+                psf_ffts[name] = kft
+                if n_pairs:
+                    pair_kernels[name] = (pair_a, pair_b)
+                continue
+
+            # mxu/direct modes: build-time preprocessing stays
+            # host-side (numpy); these run once per dataset build
             exp_list, psf_list = [], []
             for dataset in datasets.values():
                 psf = dataset["psf"]
@@ -212,20 +287,6 @@ class StackedPoissonLoss:
                 np.stack([re for re, _ in kfts]),
                 np.stack([im for _, im in kfts]),
             )
-
-            if conv_mode == "fft" and len(psf_list) >= 2:
-                # pair-packed full-spectrum kernels: two real
-                # convolutions per complex FFT (see kernel_fft_pair)
-                n_pairs = len(psf_list) // 2
-                pair_a, pair_b = [], []
-                for i in range(n_pairs):
-                    a, b = kernel_fft_pair(
-                        psf_list[2 * i], psf_list[2 * i + 1],
-                        image_shape, common_fft_shape,
-                    )
-                    pair_a.append(a)
-                    pair_b.append(b)
-                pair_kernels[name] = (jnp.stack(pair_a), jnp.stack(pair_b))
 
             if conv_mode == "mxu":
                 # permuted matmul-DFT spectra at a balanced-factor shape
