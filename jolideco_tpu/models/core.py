@@ -223,12 +223,24 @@ class SpatialFluxComponent:
 
     @classmethod
     def from_flux_init_datasets(cls, datasets, **kwargs):
-        """Initial flux from the mean raw flux estimate of datasets."""
+        """Initial flux from the mean raw flux estimate of datasets.
+
+        Deviation from the reference (``models/core.py:543-566``): the
+        raw estimate ``counts / exposure - background`` is clipped to
+        its smallest positive value. The reference stores the estimate
+        unclipped, which makes the default log-flux parameterisation
+        NaN wherever background over-subtracts — its own tutorials
+        avoid this constructor entirely and use positive random inits.
+        """
         fluxes = []
         for dataset in datasets:
             flux = dataset["counts"] / dataset["exposure"] - dataset["background"]
             fluxes.append(flux)
         flux_init = np.nanmean(fluxes, axis=0)
+        if kwargs.get("use_log_flux", True):
+            positive = flux_init[flux_init > 0]
+            floor = positive.min() if positive.size else 1.0
+            flux_init = np.clip(flux_init, floor, None)
         return cls.from_numpy(flux=flux_init, **kwargs)
 
     # ------------------------------------------------------------------

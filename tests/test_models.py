@@ -239,3 +239,26 @@ def test_from_flux_init_datasets():
     ]
     component = SpatialFluxComponent.from_flux_init_datasets(datasets)
     assert_allclose(component.flux_upsampled_numpy, 1.0, rtol=1e-6)
+
+
+def test_from_flux_init_datasets_oversubtracted_background():
+    # counts/exposure - background < 0 somewhere: the log-flux
+    # parameterisation must stay finite (clipped to the smallest
+    # positive estimate, documented deviation from the reference)
+    counts = np.zeros((8, 8), np.float32)
+    counts[4, 4] = 8.0
+    datasets = [
+        {
+            "counts": counts,
+            "exposure": np.ones((8, 8), np.float32),
+            "background": np.ones((8, 8), np.float32),
+        }
+    ]
+    component = SpatialFluxComponent.from_flux_init_datasets(datasets)
+    flux = component.flux_upsampled_numpy
+    assert np.isfinite(flux).all()
+    assert (flux > 0).all()
+    assert_allclose(flux[4, 4], 7.0, rtol=1e-6)
+    # log-flux parameter itself is finite
+    params = component.parameters()
+    assert np.isfinite(np.asarray(params["flux"])).all()
