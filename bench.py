@@ -86,6 +86,9 @@ def main():
     parser.add_argument("--size", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=1000)
     parser.add_argument("--gmm-k", type=int, default=200)
+    parser.add_argument("--gmm-name", default=None,
+                        help="use a registry GMM (e.g. astro-snr-v1) "
+                             "instead of the random benchmark GMM")
     parser.add_argument("--stride", type=int, default=4)
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--profile-dir", default=None,
@@ -126,7 +129,12 @@ def main():
     datasets = make_datasets(n_obs=args.n_obs, size=args.size)
 
     if args.prior == "gmm":
-        gmm = make_bench_gmm(k=args.gmm_k, stride=args.stride)
+        if args.gmm_name:
+            from jolideco_tpu.priors.patches.gmm import GaussianMixtureModel
+
+            gmm = GaussianMixtureModel.from_registry(args.gmm_name)
+        else:
+            gmm = make_bench_gmm(k=args.gmm_k, stride=args.stride)
         prior = GMMPatchPrior(gmm=gmm, cycle_spin=True,
                               marginalize=args.marginalize)
     else:

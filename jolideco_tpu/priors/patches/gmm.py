@@ -40,6 +40,7 @@ __all__ = ["GaussianMixtureModel", "GaussianMixtureModelMeta", "GMM_REGISTRY"]
 log = logging.getLogger(__name__)
 
 BUILTIN_GMM_NAME = "builtin-8x8-v1"
+ASTRO_GMM_NAME = "astro-snr-v1"
 
 
 @dataclass(eq=False)
@@ -531,12 +532,23 @@ def _builtin_registry():
     builtin = assets / "gmm-builtin-8x8.npz"
     if builtin.exists():
         registry[BUILTIN_GMM_NAME] = {"filename": str(builtin), "format": "npz"}
-        # The reference's default prior GMM is "zoran-weiss" from the
-        # external jolideco-gmm-prior-library. When that library is not
-        # installed, alias the common names to the built-in model so
-        # default configurations still run.
-        for alias in ("zoran-weiss", "gleam-v0.1"):
-            registry.setdefault(alias, registry[BUILTIN_GMM_NAME])
+    # K=200 EPLL-style GMM fitted on an astronomy-statistics patch
+    # corpus (power-law fields, SNR shells/filaments, PSF-convolved
+    # point fields — scripts/make_astro_gmm.py), the in-package
+    # analogue of the reference's flagship zoran-weiss / jwst-cas-a
+    # libraries (reference ``gmm.py:310-389,493-508``).
+    astro = assets / "gmm-astro-snr-8x8.npz"
+    if astro.exists():
+        registry[ASTRO_GMM_NAME] = {"filename": str(astro), "format": "npz"}
+    # The reference's default prior GMM is "zoran-weiss" from the
+    # external jolideco-gmm-prior-library. When that library is not
+    # installed, alias the common names to the closest shipped model
+    # so default configurations still run.
+    default = registry.get(ASTRO_GMM_NAME) or registry.get(BUILTIN_GMM_NAME)
+    if default:
+        for alias in ("zoran-weiss", "gleam-v0.1", "jwst-cas-a-v0.1",
+                      "chandra-snrs-v0.1"):
+            registry.setdefault(alias, default)
     return registry
 
 

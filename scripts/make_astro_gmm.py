@@ -172,10 +172,18 @@ def main():
     print(f"converged={gmm.converged_} lower_bound={gmm.lower_bound_:.4f}")
 
     out = Path(__file__).parent.parent / "jolideco_tpu" / "assets"
+    # regularise so the float32-cast covariances stay positive
+    # definite under f32 Cholesky (sklearn's reg_covar=1e-8 is below
+    # f32 resolution for the large-variance components)
+    covariances = gmm.covariances_.astype(np.float64)
+    scale = np.einsum("kii->k", covariances) / covariances.shape[-1]
+    covariances += (1e-5 * scale)[:, None, None] * np.eye(
+        covariances.shape[-1]
+    )
     np.savez_compressed(
         out / "gmm-astro-snr-8x8.npz",
         means=gmm.means_.astype(np.float32),
-        covariances=gmm.covariances_.astype(np.float32),
+        covariances=covariances.astype(np.float32),
         weights=gmm.weights_.astype(np.float32),
         stride=np.int64(4),
         patch_norm=np.str_("subtract-mean"),
