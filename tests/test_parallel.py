@@ -81,6 +81,39 @@ def test_stacked_ragged_psf_sizes(components):
     )
 
 
+def test_stacked_ragged_psf_sizes_upsampled():
+    """Ragged PSFs + upsampling: the batched device build (per-group
+    bilinear upsample, center-aligned pad, common-shape FFT) must match
+    the per-dataset build, which upsamples and embeds each PSF at its
+    own size."""
+    from jolideco_tpu.models import SpatialFluxComponent
+
+    rs = np.random.RandomState(642020)
+    datasets = {}
+    for idx, shape_psf in enumerate([(17, 17), (11, 11), (21, 21)]):
+        datasets[f"{idx}"] = gauss_and_point_sources_gauss_psf(
+            random_state=rs, shape_psf=shape_psf
+        )
+
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((32, 32), np.float32), upsampling_factor=2
+    )
+
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    per_dataset = PoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fluxes = components.to_flux_tuple()
+    assert_allclose(
+        np.asarray(stacked.evaluate(fluxes)),
+        np.asarray(per_dataset.evaluate(fluxes)),
+        rtol=1e-4,
+    )
+
+
 def test_stacked_direct_conv_matches_fft(datasets, components):
     stacked_fft = StackedPoissonLoss.from_datasets(
         datasets=datasets, components=components, conv_mode="fft"
