@@ -200,3 +200,39 @@ def test_packed_fft_compiled_matches_vmap():
 
     ref = np.asarray(jax.jit(vmap_path)(stacked, fluxes))
     assert_allclose(packed, ref, rtol=1e-5, atol=1e-6)
+
+
+@requires_device("tpu")
+def test_stacked_ragged_upsampled_build_on_tpu():
+    """Compiled device build (`ops.fft.build_kernel_stack`): ragged PSF
+    sizes + ×2 upsampling on the chip must match the per-dataset build
+    (which upsamples and embeds each PSF at its own size)."""
+    from jolideco_tpu.data import gauss_and_point_sources_gauss_psf
+    from jolideco_tpu.loss import PoissonLoss
+    from jolideco_tpu.models import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.parallel import StackedPoissonLoss
+
+    rs = np.random.RandomState(642020)
+    datasets = {}
+    for idx, shape_psf in enumerate([(17, 17), (11, 11), (21, 21)]):
+        datasets[f"{idx}"] = gauss_and_point_sources_gauss_psf(
+            random_state=rs, shape_psf=shape_psf
+        )
+
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((32, 32), np.float32), upsampling_factor=2
+    )
+
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    per_dataset = PoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fluxes = components.to_flux_tuple()
+    assert_allclose(
+        np.asarray(stacked.evaluate(fluxes)),
+        np.asarray(per_dataset.evaluate(fluxes)),
+        rtol=1e-4,
+    )
