@@ -192,6 +192,20 @@ class StackedPoissonLoss:
                         image_shape[0] + kmax[0] - 1,
                         image_shape[1] + kmax[1] - 1,
                     )
+                min_shape = (
+                    image_shape[0] + kmax[0] - 1,
+                    image_shape[1] + kmax[1] - 1,
+                )
+                if (common_fft_shape[0] < min_shape[0]
+                        or common_fft_shape[1] < min_shape[1]):
+                    # e.g. components with different upsampling factors:
+                    # no common linear-convolution shape — the caller
+                    # (MAPDeconvolver._build_total_loss) falls back to
+                    # the per-dataset models on this error
+                    raise ValueError(
+                        f"fft_shape {common_fft_shape} too small for "
+                        f"component {name!r} (needs at least {min_shape})"
+                    )
 
                 # ragged PSF sizes: upsample + center-pad per shape
                 # group on device, then restore observation order

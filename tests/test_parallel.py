@@ -203,6 +203,32 @@ def test_stacked_heterogeneous_shapes_raises(components):
         )
 
 
+def test_stacked_mixed_upsampling_factors_raises(datasets):
+    """Components with different upsampling factors have no common
+    linear-convolution shape; the stacked build must raise (the driver
+    then falls back to per-dataset models)."""
+    import copy
+
+    from jolideco_tpu.models import SpatialFluxComponent
+
+    components = FluxComponents()
+    components["a"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((32, 32), np.float32)
+    )
+    components["b"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((32, 32), np.float32), upsampling_factor=2
+    )
+    datasets = copy.deepcopy(datasets)
+    for name, dataset in datasets.items():
+        psf = dataset["psf"]
+        if not isinstance(psf, dict):
+            dataset["psf"] = {"a": psf, "b": psf}
+    with pytest.raises(ValueError):
+        StackedPoissonLoss.from_datasets(
+            datasets=datasets, components=components
+        )
+
+
 def test_stacked_with_calibrations(datasets, components):
     calibrations = NPredCalibrations()
     for name in datasets:
