@@ -605,6 +605,28 @@ class MAPDeconvolver:
         if calibrations and "calibrations" in params:
             calibrations.set_parameters(params["calibrations"])
 
+        # loud NaN guard: a non-finite loss propagates into the Adam
+        # moments and sticks, so one final check catches any blow-up
+        # (one small host fetch; no per-epoch sync)
+        leaves = jax.tree_util.tree_leaves(params)
+        if leaves and not all(
+            bool(jnp.isfinite(leaf).all()) for leaf in leaves
+        ):
+            msg = "Training produced non-finite parameters"
+            if len(total_loss.trace):
+                totals = np.asarray(total_loss.trace["total"], np.float64)
+                bad = np.nonzero(~np.isfinite(totals))[0]
+                if bad.size:
+                    msg += (
+                        f" (loss first recorded non-finite at trace row "
+                        f"{bad[0]})"
+                    )
+            log.warning(
+                f"{msg}. Check the flux initialisation (strictly "
+                "positive for log-flux components), the learning rate, "
+                "and the data (NaNs, zero exposure)."
+            )
+
         if self.compute_error:
             fluxes = components.fluxes_from()
             flux_errors = total_loss.fluxes_error(fluxes=fluxes)

@@ -169,3 +169,29 @@ def test_frozen_component_unchanged_by_training():
     assert_allclose(
         result.components["b"].flux_upsampled_numpy, frozen_flux, rtol=1e-6
     )
+
+
+def test_nonfinite_training_warns(caplog):
+    """A training blow-up (NaN counts here) must be reported loudly."""
+    import logging
+
+    from jolideco_tpu import MAPDeconvolver, SpatialFluxComponent
+
+    data = gauss_and_point_sources_gauss_psf(
+        random_state=np.random.RandomState(0)
+    )
+    data["counts"] = data["counts"].copy()
+    data["counts"][0, 0] = np.nan
+
+    component = SpatialFluxComponent.from_numpy(
+        flux=np.ones((32, 32), np.float32)
+    )
+    deco = MAPDeconvolver(
+        n_epochs=3, display_progress=False, scan_epochs=True, trace_every=1
+    )
+    with caplog.at_level(logging.WARNING, logger="jolideco_tpu.core"):
+        result = deco.run(datasets={"obs": data}, components=component)
+    assert any("non-finite" in r.message for r in caplog.records)
+    assert not np.isfinite(
+        result.components["flux"].flux_upsampled_numpy
+    ).all()
