@@ -105,6 +105,9 @@ def main():
                         help="diagnostic: swap the prior")
     parser.add_argument("--marginalize", action="store_true",
                         help="logsumexp over GMM components instead of max")
+    parser.add_argument("--patch-fraction", type=float, default=1.0,
+                        help="stochastic patch subsampling (speed dial; "
+                             "1.0 = exact)")
     parser.add_argument("--conv-mode", default="fft",
                         choices=["fft", "direct", "mxu"],
                         help="PSF convolution implementation")
@@ -136,7 +139,8 @@ def main():
         else:
             gmm = make_bench_gmm(k=args.gmm_k, stride=args.stride)
         prior = GMMPatchPrior(gmm=gmm, cycle_spin=True,
-                              marginalize=args.marginalize)
+                              marginalize=args.marginalize,
+                              patch_fraction=args.patch_fraction)
     else:
         from jolideco_tpu.priors import UniformPrior
 

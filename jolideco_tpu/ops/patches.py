@@ -239,6 +239,72 @@ def view_as_overlapping_patches_grouped(image, shape, stride):
     return jnp.concatenate(groups, axis=0)
 
 
+def view_as_single_group_patches(image, shape, stride, group_index,
+                                 pad_value):
+    """Extract ONE offset class of the grouped patch decomposition.
+
+    The overlapping stride-``s`` grid decomposes into ``(p/s)²``
+    non-overlapping tilings (see
+    :func:`view_as_overlapping_patches_grouped`); this extracts the
+    tiling selected by ``group_index`` (may be traced — dispatched with
+    ``lax.switch`` over the static variants). Sampling one group
+    uniformly at random is an unbiased estimator of the full
+    overlapping-grid patch sum at ``1/(p/s)²`` of the scoring cost,
+    with *contiguous slices only* — a random patch-subset gather at
+    benchmark scale costs more than it saves (measured: gather
+    subsampling at fraction 0.25 ran slower than exact scoring).
+
+    Groups differ in size when ``p`` does not divide the image, so the
+    output is padded to the largest group with ``pad_value`` rows
+    (choose it to fail the caller's zero-flux filter).
+
+    Returns
+    -------
+    patches : array ``(gmax, p*p)``
+    n_kept : int32 scalar
+        Number of real (non-padding) patches in the selected group.
+    """
+    p, s = shape[0], stride
+    h, w = image.shape[-2:]
+    if shape[0] != shape[1] or p % s != 0:
+        raise ValueError(
+            "grouped extraction needs square patches with stride | patch; "
+            f"got shape={shape}, stride={stride}"
+        )
+    img = image.reshape(h, w)
+    offsets = [(a, b) for a in range(0, p, s) for b in range(0, p, s)]
+    gmax = max(((h - a) // p) * ((w - b) // p) for a, b in offsets)
+
+    variants = []
+    for a, b in offsets:
+        na, nb = (h - a) // p, (w - b) // p
+
+        def extract(img, a=a, b=b, na=na, nb=nb):
+            sl = jax.lax.slice(img, (a, b), (a + na * p, b + nb * p))
+            pt = sl.reshape(na, p, nb, p).transpose(0, 2, 1, 3)
+            pt = pt.reshape(na * nb, p * p)
+            if na * nb < gmax:
+                pt = jnp.pad(
+                    pt, ((0, gmax - na * nb), (0, 0)),
+                    constant_values=pad_value,
+                )
+            return pt, jnp.int32(na * nb)
+
+        variants.append(extract)
+    return jax.lax.switch(group_index, variants, img)
+
+
+def count_overlapping_patches(image_shape, shape, stride):
+    """Total patch count of the grouped decomposition (static)."""
+    p, s = shape[0], stride
+    h, w = image_shape[-2:]
+    return sum(
+        ((h - a) // p) * ((w - b) // p)
+        for a in range(0, p, s)
+        for b in range(0, p, s)
+    )
+
+
 def reconstruct_from_overlapping_patches_at(patches, corners, image_shape):
     """Overlap-add reconstruction from patches with explicit corners.
 

@@ -35,6 +35,7 @@ from ...ops.patches import (
     view_as_overlapping_patches,
     view_as_overlapping_patches_grouped,
     view_as_random_overlapping_patches,
+    view_as_single_group_patches,
 )
 from ...utils.kernels import gaussian_kernel_2d
 from ...utils.norms import IdentityImageNorm, ImageNorm, PatchNorm
@@ -173,7 +174,33 @@ class GMMPatchPrior(Prior):
         if self.cycle_spin_subpix:
             normed = cycle_spin_subpixel(key_subpix, normed)
 
-        if self.jitter:
+        n_groups = (self.patch_shape[0] // self.stride) ** 2 \
+            if self._grouped_ok else 0
+        group_sampling = (
+            self.patch_fraction < 1.0
+            and not self.jitter
+            and self._grouped_ok
+            and int(round(self.patch_fraction * n_groups)) <= 1
+        )
+
+        if group_sampling:
+            # stochastic subsampling by offset class: score ONE of the
+            # (p/s)² non-overlapping tilings, drawn uniformly — an
+            # unbiased estimator of the full overlapping-grid sum
+            # (in the spirit of Parameswaran et al. 2018,
+            # arXiv:1710.08124) built from contiguous slices only; a
+            # random patch-subset gather costs more than it saves on
+            # TPU (measured at benchmark scale)
+            r = jax.random.randint(key_sub, (), 0, n_groups)
+            patches, _ = view_as_single_group_patches(
+                normed, shape=self.patch_shape, stride=self.stride,
+                group_index=r, pad_value=2.0 * ZERO_FLUX_SENTINEL,
+            )
+            # each patch belongs to exactly one group, so scaling the
+            # uniformly-drawn group's sum by n_groups is exactly
+            # unbiased (n_total/n_kept would bias toward small groups)
+            subsample_scale = float(n_groups)
+        elif self.jitter:
             patches = view_as_random_overlapping_patches(
                 key_jitter, normed, shape=self.patch_shape, stride=self.stride
             )
@@ -190,19 +217,16 @@ class GMMPatchPrior(Prior):
                 normed, shape=self.patch_shape, stride=self.stride
             )
 
-        if self.patch_fraction < 1.0:
-            # stochastic patch subsampling (unbiased estimator of the
-            # full-patch log-prior; in the spirit of Parameswaran et
-            # al. 2018, "Accelerating GMM-based patch priors",
-            # arXiv:1710.08124): score a random static-size subset and
-            # scale the sum back up. Combined with per-epoch cycle
-            # spins the estimator averages over iterations.
+        if self.patch_fraction < 1.0 and not group_sampling:
+            # generic stochastic patch subsampling: random static-size
+            # subset, scaled back up (gather-based; prefer fractions
+            # ≤ 1/(p/s)² which use the group path above)
             n_total = patches.shape[0]
             n_keep = max(1, int(round(self.patch_fraction * n_total)))
             idx = jax.random.permutation(key_sub, n_total)[:n_keep]
             patches = jnp.take(patches, idx, axis=0)
             subsample_scale = n_total / n_keep
-        else:
+        elif not group_sampling:
             subsample_scale = 1.0
 
         # zero-flux patch filter, shape-static: mask instead of drop

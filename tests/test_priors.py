@@ -187,6 +187,65 @@ class TestGMMPatchPrior:
         with pytest.raises(ValueError):
             prior_sub.prior_image(flux)
 
+    def test_group_sampling_partition_and_unbiasedness(self, gmm, flux):
+        """patch_fraction ≤ 1/(p/s)² uses offset-class sampling: the
+        groups partition the full patch set, and averaging the scaled
+        estimator over all group draws reproduces the exact prior."""
+        from jolideco_tpu.ops.patches import (
+            count_overlapping_patches,
+            view_as_overlapping_patches_grouped,
+            view_as_single_group_patches,
+        )
+
+        stride = gmm.meta.stride
+        patch_shape = (8, 8)
+        n_groups = (patch_shape[0] // stride) ** 2
+        image = np.asarray(flux, np.float32).reshape(flux.shape[-2:])
+
+        full = np.asarray(view_as_overlapping_patches_grouped(
+            image, shape=patch_shape, stride=stride
+        ))
+        rows, total = [], 0
+        for r in range(n_groups):
+            pt, n_kept = view_as_single_group_patches(
+                image, shape=patch_shape, stride=stride,
+                group_index=r, pad_value=-1e9,
+            )
+            pt = np.asarray(pt)[: int(n_kept)]
+            rows.append(pt)
+            total += int(n_kept)
+        assert total == count_overlapping_patches(
+            image.shape, patch_shape, stride
+        ) == full.shape[0]
+        # same patch set (group order matches the grouped extraction)
+        assert_allclose(np.concatenate(rows), full, rtol=1e-6)
+
+        # unbiasedness: mean over the n_groups single-group estimates
+        # equals the exact prior value (cycle_spin off, same norm path)
+        prior_full = GMMPatchPrior(gmm=gmm, cycle_spin=False)
+        fraction = 1.0 / n_groups
+        prior_sub = GMMPatchPrior(
+            gmm=gmm, cycle_spin=False, patch_fraction=fraction
+        )
+        v_full = float(prior_full(flux=flux, key=jax.random.PRNGKey(0)))
+        # collect one estimate per distinct drawn group
+        seen, values = set(), []
+        for i in range(200):
+            key = jax.random.PRNGKey(i)
+            _, _, _, _, _, scale = prior_sub._evaluate_log_like(
+                flux, key=key
+            )
+            key_sub = jax.random.split(key, 4)[3]
+            r = int(jax.random.randint(key_sub, (), 0, n_groups))
+            if r in seen:
+                continue
+            seen.add(r)
+            values.append(float(prior_sub(flux=flux, key=key)))
+            if len(seen) == n_groups:
+                break
+        assert len(seen) == n_groups
+        assert_allclose(np.mean(values), v_full, rtol=1e-5)
+
     def test_jitter(self, gmm, flux):
         prior = GMMPatchPrior(gmm=gmm, cycle_spin=False, jitter=True)
         value = float(prior(flux=flux, key=jax.random.PRNGKey(0)))
