@@ -51,6 +51,29 @@ def use_pallas():
     return _USE_PALLAS
 
 
+class force_pallas:
+    """Context manager: temporarily override the Pallas dispatch mode.
+
+    Used by second-order paths (Hessian flux errors): the Pallas
+    backward kernels are not differentiable, so grad-of-grad probes
+    trace the XLA scan scorer instead.
+    """
+
+    def __init__(self, mode):
+        self.mode = mode
+
+    def __enter__(self):
+        global _USE_PALLAS
+        self._saved = _USE_PALLAS
+        set_use_pallas(self.mode)
+        return self
+
+    def __exit__(self, *exc):
+        global _USE_PALLAS
+        _USE_PALLAS = self._saved
+        return False
+
+
 def pallas_mode():
     """Resolve the mode: returns (enabled, interpret)."""
     mode = _USE_PALLAS

@@ -289,12 +289,18 @@ class TotalLoss:
         differentiable loss — the reference silently drops the Poisson
         term (see module docstring).
         """
+        from .config import force_pallas
+
         ones = tuple(jnp.ones_like(flux) for flux in fluxes)
 
         def f(flux_tuple):
             return self(flux_tuple, key=key)
 
-        _, hvp = jax.jvp(jax.grad(f), (tuple(fluxes),), (ones,))
+        # the Pallas scorer's custom-VJP backward kernel has no JVP
+        # rule; the one-shot second-order probe traces the (fully
+        # differentiable) XLA scan scorer instead
+        with force_pallas("off"):
+            _, hvp = jax.jvp(jax.grad(f), (tuple(fluxes),), (ones,))
         return hvp
 
     def fluxes_error(self, fluxes, key=None):

@@ -101,6 +101,40 @@ def test_hessian_includes_poisson_term():
     assert float(np.abs(np.asarray(hessians[0])).max()) > 0
 
 
+def test_hessian_with_pallas_scorer_enabled():
+    """Flux errors must work when the GMM Pallas kernel is the active
+    scorer: its custom-VJP backward has no JVP rule, so the
+    second-order probe must force the XLA scan (regression for a
+    NotImplementedError('repeat') on TPU)."""
+    from jolideco_tpu import config as jt_config
+    from jolideco_tpu.loss import TotalLoss
+    from jolideco_tpu.priors import GMMPatchPrior
+
+    random_state = np.random.RandomState(642020)
+    dataset = gauss_and_point_sources_gauss_psf(random_state=random_state)
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((32, 32)),
+        prior=GMMPatchPrior(
+            gmm=GaussianMixtureModel.from_registry("builtin-8x8-v1"),
+            cycle_spin=False,
+        ),
+    )
+    total_loss = TotalLoss.from_datasets_and_components(
+        datasets={"obs": dataset}, components=components
+    )
+    fluxes = components.to_flux_tuple()
+    jt_config.set_use_pallas("interpret")
+    try:
+        hessians = total_loss.hessian_diagonals(
+            fluxes, key=jax.random.PRNGKey(0)
+        )
+    finally:
+        jt_config.set_use_pallas("auto")
+    assert jt_config.use_pallas() == "auto"
+    assert np.isfinite(np.asarray(hessians[0])).all()
+
+
 def test_masked_component_stays_masked():
     random_state = np.random.RandomState(642020)
     dataset = gauss_and_point_sources_gauss_psf(random_state=random_state)
