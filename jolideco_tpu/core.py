@@ -490,8 +490,35 @@ class MAPDeconvolver:
         return params, opt_state, rows, count
 
     # ------------------------------------------------------------------
+    def build_loss(self, datasets, datasets_validation=None,
+                   components=None, calibrations=None):
+        """Build the total loss once, for reuse across ``run`` calls.
+
+        Repeated runs over the same data (seed sweeps, epoch-count
+        sweeps, resumed training) pay the dataset build — stacking,
+        device transfer, kernel-FFT precompute — on every ``run``.
+        Build it once and pass it back via ``run(total_loss=...)``:
+
+        >>> loss = deco.build_loss(datasets, components=components)
+        >>> for seed in range(8):
+        ...     deco.seed = seed
+        ...     results.append(deco.run(datasets, components=components,
+        ...                             total_loss=loss))
+
+        The loss captures the *data* (and the components' static
+        configuration); the trained parameters still come from the
+        ``components`` passed to ``run``. No reference equivalent.
+        """
+        if isinstance(components, (SpatialFluxComponent,
+                                   SparseSpatialFluxComponent)):
+            components = {self._default_flux_component: components}
+        components = FluxComponents(components)
+        return self._build_total_loss(
+            datasets, datasets_validation, components, calibrations
+        )
+
     def run(self, datasets, datasets_validation=None, components=None,
-            calibrations=None, resume_from=None):
+            calibrations=None, resume_from=None, total_loss=None):
         """Run the MAP deconvolution.
 
         Parameters
@@ -510,6 +537,9 @@ class MAPDeconvolver:
             checkpoint directory written with
             :meth:`MAPDeconvolverResult.save_state`. Not available in
             the reference (its checkpoints restore model state only).
+        total_loss : `TotalLoss`, optional
+            Prebuilt loss from :meth:`build_loss` — skips the dataset
+            build/transfer for repeated runs over the same data.
 
         Returns
         -------
@@ -533,6 +563,7 @@ class MAPDeconvolver:
                         components=components,
                         calibrations=calibrations,
                         resume_from=resume_from,
+                        total_loss=total_loss,
                     )
                 finally:
                     self.device = saved
@@ -545,9 +576,13 @@ class MAPDeconvolver:
         components_init = copy.deepcopy(components)
         calibrations_init = copy.deepcopy(calibrations)
 
-        total_loss = self._build_total_loss(
-            datasets, datasets_validation, components, calibrations
-        )
+        if total_loss is None:
+            total_loss = self._build_total_loss(
+                datasets, datasets_validation, components, calibrations
+            )
+        else:
+            # reused loss: each run gets a fresh trace table
+            total_loss._trace = None
 
         params = {"components": components.parameters()}
         if calibrations:

@@ -132,3 +132,35 @@ def test_cli_run(tmp_path):
     )
     assert result.exit_code == 0, result.output
     assert output.exists()
+
+
+def test_prebuilt_loss_reuse_matches_fresh_build(datasets):
+    """run(total_loss=build_loss(...)) must reproduce a fresh-build run
+    exactly, and each run must get a fresh trace table."""
+    deco = MAPDeconvolver(
+        n_epochs=20, display_progress=False, scan_epochs=True,
+        update_strategy="joint", trace_every=1, seed=0,
+    )
+    fresh = deco.run(datasets=datasets, components=build_components())
+
+    loss = deco.build_loss(datasets, components=build_components())
+    reused_1 = deco.run(
+        datasets=datasets, components=build_components(), total_loss=loss
+    )
+    reused_2 = deco.run(
+        datasets=datasets, components=build_components(), total_loss=loss
+    )
+
+    assert_allclose(
+        reused_1.components["flux-1"].flux_upsampled_numpy,
+        fresh.components["flux-1"].flux_upsampled_numpy,
+        rtol=1e-6,
+    )
+    assert_allclose(
+        reused_2.components["flux-1"].flux_upsampled_numpy,
+        fresh.components["flux-1"].flux_upsampled_numpy,
+        rtol=1e-6,
+    )
+    # trace does not accumulate across reused runs
+    assert len(reused_1.trace_loss) == len(fresh.trace_loss)
+    assert len(reused_2.trace_loss) == len(fresh.trace_loss)
