@@ -607,3 +607,61 @@ def test_multi_component_order_survives_jit():
         jax.jit(lambda s, f: s.evaluate(f))(stacked, fluxes)
     )
     assert_allclose(jitted, eager, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_stacked_matches_per_dataset_random_configs(seed):
+    """Property sweep over the device-build parameter space: random
+    observation counts, image sizes, odd/even ragged PSF sizes and
+    upsampling factors — the stacked loss and its gradient must match
+    the per-dataset build."""
+    from jolideco_tpu.models import SpatialFluxComponent
+
+    rs = np.random.RandomState(1000 + seed)
+    n_obs = int(rs.randint(1, 5))
+    size = int(rs.choice([24, 32, 40]))
+    factor = int(rs.choice([1, 2, 3]))
+
+    datasets = {}
+    for i in range(n_obs):
+        psf_size = int(rs.randint(3, 12))  # odd AND even kernels
+        yy, xx = np.mgrid[0:psf_size, 0:psf_size]
+        c = (psf_size - 1) / 2
+        psf = np.exp(-((yy - c) ** 2 + (xx - c) ** 2)
+                     / (2 * rs.uniform(0.8, 2.0) ** 2))
+        psf = (psf / psf.sum()).astype(np.float32)
+        flux = rs.gamma(2.0, size=(size, size)).astype(np.float32)
+        exposure = rs.uniform(0.5, 2.0, (size, size)).astype(np.float32)
+        background = rs.uniform(0.1, 1.0, (size, size)).astype(np.float32)
+        counts = rs.poisson(flux + background).astype(np.float32)
+        datasets[f"obs-{i}"] = {
+            "counts": counts, "psf": psf,
+            "exposure": exposure, "background": background,
+        }
+
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((size, size), np.float32), upsampling_factor=factor
+    )
+
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    per_dataset = PoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fluxes = components.to_flux_tuple()
+    assert_allclose(
+        np.asarray(stacked.evaluate(fluxes)),
+        np.asarray(per_dataset.evaluate(fluxes)),
+        rtol=2e-4,
+    )
+
+    def total(loss, flux):
+        return jnp.sum(loss.evaluate((flux,)))
+
+    g_stacked = jax.grad(total, argnums=1)(stacked, fluxes[0])
+    g_seq = jax.grad(total, argnums=1)(per_dataset, fluxes[0])
+    assert_allclose(
+        np.asarray(g_stacked), np.asarray(g_seq), rtol=2e-4, atol=1e-5
+    )
