@@ -37,13 +37,17 @@ __all__ = [
 
 
 def parse_flux_array(value, cls):
-    """Parse a flux specification: filename, numpy array or jnp array."""
+    """Parse a flux specification: filename, array or nested list.
+
+    2-D images (the ``to_dict`` numpy payload, YAML lists) are promoted
+    to the internal ``(1, 1, H, W)`` layout.
+    """
     if isinstance(value, str):
         flux = cls.read(Path(value)).flux_upsampled
-    elif isinstance(value, np.ndarray):
-        flux = jnp.asarray(value[np.newaxis, np.newaxis], jnp.float32)
     else:
         flux = jnp.asarray(value, jnp.float32)
+        if flux.ndim == 2:
+            flux = flux[jnp.newaxis, jnp.newaxis]
     return flux
 
 

@@ -112,7 +112,8 @@ def test_cli_run(tmp_path):
         "datasets": {"obs-1": {"filename": str(tmp_path / "obs.npz")}},
         "components": {
             "flux": {
-                "flux_upsampled": flux_init[None, None].tolist(),
+                # plain 2-D image spec (promoted to (1, 1, H, W))
+                "flux_upsampled": flux_init.tolist(),
                 "prior": {"type": "uniform"},
             }
         },
