@@ -665,3 +665,56 @@ def test_stacked_matches_per_dataset_random_configs(seed):
     assert_allclose(
         np.asarray(g_stacked), np.asarray(g_seq), rtol=2e-4, atol=1e-5
     )
+
+
+def test_stacked_multiband_matches_per_dataset():
+    """Multi-band (3-D counts/psf/exposure) observations through the
+    stacked build match the per-dataset models (BASELINE config 5
+    shape: per-band PSFs, shared 2-D flux)."""
+    from jolideco_tpu.models import SpatialFluxComponent
+    from jolideco_tpu.utils.kernels import gaussian_kernel_2d
+
+    rs = np.random.RandomState(0)
+    c, h = 3, 32
+    psfs = np.stack(
+        [gaussian_kernel_2d(1.0 + b, x_size=9, y_size=9) for b in range(c)]
+    ).astype(np.float32)
+
+    datasets = {}
+    for i in range(3):
+        flux = rs.gamma(2, size=(h, h)).astype(np.float32)
+        background = 0.5 * np.ones((c, h, h), np.float32)
+        counts = rs.poisson(background + flux[None]).astype(np.float32)
+        datasets[f"obs-{i}"] = {
+            "counts": counts,
+            "psf": psfs,
+            "exposure": np.ones((c, h, h), np.float32),
+            "background": background,
+        }
+
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((h, h), np.float32)
+    )
+
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    per_dataset = PoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fluxes = components.to_flux_tuple()
+    assert_allclose(
+        np.asarray(stacked.evaluate(fluxes)),
+        np.asarray(per_dataset.evaluate(fluxes)),
+        rtol=1e-4,
+    )
+
+    def total(loss, flux):
+        return jnp.sum(loss.evaluate((flux,)))
+
+    g_stacked = jax.grad(total, argnums=1)(stacked, fluxes[0])
+    g_seq = jax.grad(total, argnums=1)(per_dataset, fluxes[0])
+    assert_allclose(
+        np.asarray(g_stacked), np.asarray(g_seq), rtol=1e-4, atol=1e-6
+    )
