@@ -121,6 +121,10 @@ def main():
 
     jt_config.set_gmm_precision(args.precision)
     jt_config.set_use_pallas(args.pallas)
+    # persistent XLA cache: repeated bench invocations skip the
+    # ~40 s warm-up compile (the timed window is unaffected — it
+    # reuses the warm-up run's in-process executables either way)
+    jt_config.enable_persistent_cache()
 
     if args.verbose:
         import logging

@@ -90,3 +90,17 @@ def test_sympy_helper():
     like = sp.Product(alpha * sp.exp(-x[i] * alpha), (i, 1, n))
     expanded = concrete_expand_log(sp.log(like))
     assert isinstance(expanded, sp.Sum)
+
+
+def test_enable_persistent_cache(tmp_path):
+    import jax
+
+    from jolideco_tpu import config as jt_config
+
+    saved = jax.config.jax_compilation_cache_dir
+    try:
+        path = jt_config.enable_persistent_cache(tmp_path / "xla-cache")
+        assert path.exists()
+        assert jax.config.jax_compilation_cache_dir == str(path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", saved or "")
