@@ -152,6 +152,9 @@ def make_datasets(rng):
 
 
 def main():
+    from jolideco_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()  # skip recompiles across invocations
     parser = argparse.ArgumentParser()
     parser.add_argument("--bench", action="store_true",
                         help="print one JSON timing line and exit")

@@ -71,6 +71,9 @@ def simulate(dataset, flux_true, rng):
 
 
 def main():
+    from jolideco_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()  # skip recompiles across invocations
     from jolideco_tpu import (
         FluxComponents,
         GMMPatchPrior,

@@ -22,6 +22,9 @@ from jolideco_tpu.utils.norms import MaxImageNorm  # noqa: E402
 
 
 def main():
+    from jolideco_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()  # skip recompiles across invocations
     random_state = np.random.RandomState(642020)
     data = point_source_gauss_psf(random_state=random_state)
 

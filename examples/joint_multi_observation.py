@@ -26,6 +26,9 @@ from jolideco_tpu.priors import GMMPatchPrior  # noqa: E402
 
 
 def main():
+    from jolideco_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()  # skip recompiles across invocations
     random_state = np.random.RandomState(642020)
 
     n_obs = 8

@@ -25,6 +25,9 @@ from jolideco_tpu.priors import SmoothnessPrior, UniformPrior  # noqa: E402
 
 
 def main():
+    from jolideco_tpu.config import enable_persistent_cache
+
+    enable_persistent_cache()  # skip recompiles across invocations
     random_state = np.random.RandomState(642020)
     data = gauss_and_point_sources_gauss_psf(random_state=random_state)
     dataset = {
