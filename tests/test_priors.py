@@ -354,3 +354,39 @@ def test_gmm_npz_roundtrip(tmp_path):
     gmm_new = GaussianMixtureModel.read(path, format="npz")
     assert gmm_new.is_equal(gmm)
     assert gmm_new.meta.stride == gmm.meta.stride
+
+
+def test_gmm_read_epll_matlab(tmp_path):
+    """EPLL .mat reader (reference ``gmm.py:337-360`` layout: a ``GS``
+    struct with ``means (d, K)``, ``covs (d, d, K)``,
+    ``mixweights (K, 1)``)."""
+    import scipy.io as sio
+
+    from jolideco_tpu.priors import GaussianMixtureModel
+
+    rs = np.random.RandomState(0)
+    k, d = 5, 64
+    means = rs.randn(k, d)
+    covariances = np.empty((k, d, d))
+    for i in range(k):
+        a = rs.randn(d, 2 * d)
+        covariances[i] = a @ a.T / (2 * d) + 0.1 * np.eye(d)
+    weights = rs.dirichlet(np.ones(k))
+
+    path = tmp_path / "gmm.mat"
+    sio.savemat(str(path), {
+        "GS": {
+            "means": means.T,
+            "covs": covariances.T,
+            "mixweights": weights[:, None],
+        }
+    })
+
+    gmm = GaussianMixtureModel.read(filename=path, format="epll-matlab")
+    assert_allclose(np.asarray(gmm.means), means, rtol=1e-6)
+    assert_allclose(np.asarray(gmm.covariances), covariances, rtol=1e-6)
+    assert_allclose(np.asarray(gmm.weights), weights, rtol=1e-6)
+    assert gmm.meta.stride == 4
+    # scoring works end to end
+    lp = np.asarray(gmm.estimate_log_prob(rs.rand(7, d).astype(np.float32)))
+    assert np.isfinite(lp).all() and lp.shape == (7, k)
