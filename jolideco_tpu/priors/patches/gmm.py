@@ -326,9 +326,12 @@ class GaussianMixtureModel:
 
             gmm_dict = sio.loadmat(str(filename))
             gmm_data = gmm_dict["GMM"]
-            means = np.zeros((200, 256))
             covariances = gmm_data["covs"][0][0].T
             weights = gmm_data["mixweights"][0][0][:, 0]
+            # zero means sized from the data (the reference hardcodes
+            # (200, 256), reference ``gmm.py:372`` — broken for any
+            # other component count)
+            means = np.zeros(covariances.shape[:2])
             meta = GaussianMixtureModelMeta(
                 stride=8, patch_norm=SubtractMeanPatchNorm()
             )

@@ -390,3 +390,32 @@ def test_gmm_read_epll_matlab(tmp_path):
     # scoring works end to end
     lp = np.asarray(gmm.estimate_log_prob(rs.rand(7, d).astype(np.float32)))
     assert np.isfinite(lp).all() and lp.shape == (7, k)
+
+
+def test_gmm_read_epll_matlab_16x16(tmp_path):
+    """EPLL 16x16 .mat variant (reference ``gmm.py:361-374``: a ``GMM``
+    struct, zero means, ``covs (d, d, K)``)."""
+    import scipy.io as sio
+
+    from jolideco_tpu.priors import GaussianMixtureModel
+
+    rs = np.random.RandomState(1)
+    k, d = 3, 256
+    covariances = np.empty((k, d, d))
+    for i in range(k):
+        a = rs.randn(d, 2 * d)
+        covariances[i] = a @ a.T / (2 * d) + 0.1 * np.eye(d)
+    weights = rs.dirichlet(np.ones(k))
+
+    path = tmp_path / "gmm16.mat"
+    sio.savemat(str(path), {
+        "GMM": {"covs": covariances.T, "mixweights": weights[:, None]}
+    })
+
+    gmm = GaussianMixtureModel.read(
+        filename=path, format="epll-matlab-16x16"
+    )
+    assert gmm.patch_shape == (16, 16)
+    assert_allclose(np.asarray(gmm.covariances), covariances, rtol=1e-6)
+    assert_allclose(np.asarray(gmm.means), 0.0)
+    assert gmm.meta.stride == 8
