@@ -350,7 +350,13 @@ class InverseCDFImageNorm(ImageNorm):
         )
 
     def to_dict(self):
-        raise NotImplementedError
+        """Serialise the tabulated CDF (the reference raises
+        ``NotImplementedError`` here, reference ``norms.py:367-369``)."""
+        return {
+            "type": "inverse-cdf",
+            "x": np.asarray(self.x).tolist(),
+            "cdf": np.asarray(self.cdf).tolist(),
+        }
 
 
 class LogImageNorm(ImageNorm):

@@ -104,3 +104,21 @@ def test_enable_persistent_cache(tmp_path):
         assert jax.config.jax_compilation_cache_dir == str(path)
     finally:
         jax.config.update("jax_compilation_cache_dir", saved or "")
+
+
+def test_inverse_cdf_norm_roundtrip():
+    """InverseCDFImageNorm serialises its tabulated CDF (the reference
+    raises NotImplementedError)."""
+    import numpy as np
+    from numpy.testing import assert_allclose
+
+    from jolideco_tpu.utils.norms import ImageNorm, InverseCDFImageNorm
+
+    rs = np.random.RandomState(0)
+    norm = InverseCDFImageNorm.from_image(rs.gamma(2, size=(32, 32)),
+                                          bins=50)
+    data = norm.to_dict()
+    assert data["type"] == "inverse-cdf"
+    rebuilt = ImageNorm.from_dict(data)
+    x = rs.gamma(2, size=(8, 8)).astype(np.float32)
+    assert_allclose(np.asarray(norm(x)), np.asarray(rebuilt(x)), rtol=1e-6)
