@@ -4,6 +4,10 @@ Runs on the 8-virtual-CPU-device mesh configured in conftest.py —
 exercises the real sharding/collective logic without TPU hardware.
 """
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 from numpy.testing import assert_allclose
@@ -365,13 +369,78 @@ def test_mesh_builders_raise_on_insufficient_devices():
         make_obs_row_mesh(2, n)
 
 
-def test_dryrun_multichip_inprocess():
-    """The driver deliverable: full sharded train step on a real
-    8-device mesh (runs in-process here because conftest forces the
-    8-virtual-CPU backend)."""
+def test_hermetic_cpu_env_scrubs_tpu_vars():
+    """The dry-run child env must carry no var that could register or
+    select a TPU plugin, and must force the virtual-CPU device count
+    over whatever the parent had in XLA_FLAGS."""
     import __graft_entry__
 
-    __graft_entry__.dryrun_multichip(8)
+    environ = {
+        "PALLAS_AXON_POOL_IPS": "127.0.0.1",
+        "AXON_LOOPBACK_RELAY": "1",
+        "TPU_SKIP_MDS_QUERY": "1",
+        "LIBTPU_INIT_ARGS": "--foo",
+        "JAX_PLATFORMS": "tpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2 --xla_abc=1",
+        "PATH": "/usr/bin",
+    }
+    env = __graft_entry__._hermetic_cpu_env(environ, 8)
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    assert "device_count=2" not in env["XLA_FLAGS"]
+    assert "--xla_abc=1" in env["XLA_FLAGS"]  # unrelated flags survive
+    assert env["PATH"] == "/usr/bin"  # unrelated vars survive
+    leaked = [
+        k
+        for k in env
+        if k.startswith(("PALLAS_AXON_", "AXON_", "TPU_", "LIBTPU"))
+    ]
+    assert not leaked, leaked
+
+
+def test_dryrun_multichip_driver_context():
+    """Regression for the round-1/2 red driver dryrun: call
+    ``dryrun_multichip(8)`` from a parent process that has BOTH the
+    driver's ``--xla_force_host_platform_device_count`` flag AND a
+    non-CPU default JAX platform. The parent must never initialize a
+    jax backend (probing one is what dragged in the remote TPU plugin),
+    and the sharded train step must still run green inside the scrubbed
+    subprocess."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=8"]
+    )
+    # A platform the parent cannot actually build: if any code path in
+    # the parent touches jax.devices(), it fails loudly here.
+    env["JAX_PLATFORMS"] = "tpu"
+    code = (
+        "import sys; "
+        f"sys.path.insert(0, {repo!r}); "
+        "import __graft_entry__; "
+        "__graft_entry__.dryrun_multichip(8); "
+        "mod = sys.modules.get('jax'); "
+        "assert mod is None or not __import__('jax._src.xla_bridge', "
+        "fromlist=['xla_bridge']).backends_are_initialized(), "
+        "'parent initialized a jax backend'"
+    )
+    result = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    assert result.returncode == 0, (
+        f"driver-context dryrun failed (rc={result.returncode})\n"
+        f"stdout:\n{result.stdout}\nstderr:\n{result.stderr}"
+    )
+    assert "dryrun_multichip OK" in result.stdout
 
 
 def test_evaluate_dataset_single_obs(datasets, components):
