@@ -296,11 +296,17 @@ class TotalLoss:
         def f(flux_tuple):
             return self(flux_tuple, key=key)
 
-        # the Pallas scorer's custom-VJP backward kernel has no JVP
-        # rule; the one-shot second-order probe traces the (fully
-        # differentiable) XLA scan scorer instead
-        with force_pallas("off"):
+        # The Pallas scorer supports forward-over-reverse directly for
+        # the MAP (max) reduction via nested custom_jvp rules — the
+        # probe runs on the same kernels as training, no re-trace of
+        # the XLA scan scorer. Marginalise-mode GMM priors have no
+        # kernel JVP; they raise at trace time and fall back to the
+        # (fully differentiable, but slow-to-compile) XLA scan scorer.
+        try:
             _, hvp = jax.jvp(jax.grad(f), (tuple(fluxes),), (ones,))
+        except NotImplementedError:
+            with force_pallas("off"):
+                _, hvp = jax.jvp(jax.grad(f), (tuple(fluxes),), (ones,))
         return hvp
 
     def fluxes_error(self, fluxes, key=None):

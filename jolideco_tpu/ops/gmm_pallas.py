@@ -277,7 +277,8 @@ def _select_contract(x, weights_hi, weights_lo, aqt_hi_ref, aqt_lo_ref,
     ``b_w = sum_k w_k b_k`` with per-row weights ``(TILE_N, K_pad)``
     given as a bf16 hi/lo pair. The ``A`` row mixture happens on the
     MXU; the ``x``-contraction is d strided VPU multiply-accumulates
-    (layout-friendly, no reshape relayout).
+    (layout-friendly, no reshape relayout). ``bqt_ref=None`` drops the
+    ``b`` term (used by the HVP kernel, which needs ``-x A_w`` only).
     """
     d = x.shape[1]
     arow = (
@@ -289,6 +290,13 @@ def _select_contract(x, weights_hi, weights_lo, aqt_hi_ref, aqt_lo_ref,
     if weights_lo is not None:
         arow = arow + jnp.dot(weights_lo, aqt_hi_ref[:],
                               preferred_element_type=jnp.float32)
+
+    xa = jnp.zeros_like(x)
+    for j in range(d):
+        xa = xa + x[:, j:j + 1] * arow[:, j * d:(j + 1) * d]
+    if bqt_ref is None:
+        return -xa
+
     b_sel = jnp.dot(
         weights_hi.astype(jnp.float32), bqt_ref[:],
         preferred_element_type=jnp.float32,
@@ -300,32 +308,40 @@ def _select_contract(x, weights_hi, weights_lo, aqt_hi_ref, aqt_lo_ref,
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST,
         )
-
-    xa = jnp.zeros_like(x)
-    for j in range(d):
-        xa = xa + x[:, j:j + 1] * arow[:, j * d:(j + 1) * d]
     return b_sel - xa
 
 
-def _bwd_map_kernel(x_ref, argmax_ref, g_ref, aqt_hi_ref, aqt_lo_ref,
-                    bqt_ref, dx_ref):
+def _onehot_rows(argmax_ref, n_rows, k_pad):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, k_pad), 1)
+    return (lane == argmax_ref[:]).astype(jnp.bfloat16)
+
+
+def _unit_map_kernel(x_ref, argmax_ref, aqt_hi_ref, aqt_lo_ref,
+                     bqt_ref, dx_ref):
+    """Per-row score gradient ``d values / d x = b_{k*} - x A_{k*}``."""
     x = x_ref[:]
-    k_pad = aqt_hi_ref.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], k_pad), 1)
-    onehot = (lane == argmax_ref[:]).astype(jnp.bfloat16)
+    onehot = _onehot_rows(argmax_ref, x.shape[0], aqt_hi_ref.shape[0])
     # one-hot rows copy A/b entries exactly: each output element gets
     # exactly one nonzero product, and 1.0 * bf16 is exact
-    dx = _select_contract(x, onehot, None, aqt_hi_ref, aqt_lo_ref, bqt_ref)
-    dx_ref[:] = dx * g_ref[:]
+    dx_ref[:] = _select_contract(x, onehot, None, aqt_hi_ref, aqt_lo_ref,
+                                 bqt_ref)
 
 
-def _bwd_marg_kernel(*refs, mode):
+def _hvp_map_kernel(t_ref, argmax_ref, aqt_hi_ref, aqt_lo_ref, dx_ref):
+    """Hessian action ``-t A_{k*}`` (argmax piecewise constant)."""
+    t = t_ref[:]
+    onehot = _onehot_rows(argmax_ref, t.shape[0], aqt_hi_ref.shape[0])
+    dx_ref[:] = _select_contract(t, onehot, None, aqt_hi_ref, aqt_lo_ref,
+                                 None)
+
+
+def _unit_marg_kernel(*refs, mode):
     if mode == "split3":
-        (x_ref, values_ref, g_ref, aq_hi_ref, aq_lo_ref, bq_ref,
+        (x_ref, values_ref, aq_hi_ref, aq_lo_ref, bq_ref,
          const2_ref, aqt_hi_ref, aqt_lo_ref, bqt_ref, dx_ref) = refs
         aq_refs = (aq_hi_ref, aq_lo_ref)
     else:
-        (x_ref, values_ref, g_ref, aq_ref, bq_ref, const2_ref,
+        (x_ref, values_ref, aq_ref, bq_ref, const2_ref,
          aqt_hi_ref, aqt_lo_ref, bqt_ref, dx_ref) = refs
         aq_refs = (aq_ref,)
 
@@ -337,11 +353,119 @@ def _bwd_marg_kernel(*refs, mode):
     p = p / jnp.sum(p, axis=1, keepdims=True)
     p_hi = p.astype(jnp.bfloat16)
     p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    dx = _select_contract(x, p_hi, p_lo, aqt_hi_ref, aqt_lo_ref, bqt_ref)
-    dx_ref[:] = dx * g_ref[:]
+    dx_ref[:] = _select_contract(x, p_hi, p_lo, aqt_hi_ref, aqt_lo_ref,
+                                 bqt_ref)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _row_specs(tile_n, d):
+    row = pl.BlockSpec((tile_n, d), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    return row, col
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _unit_map_pallas(interpret, x, argmax2, aqt_hi, aqt_lo, bqt):
+    """MAP-mode per-row gradient ``b_{k*} - x A_{k*}`` (padded rows).
+
+    custom_jvp so forward-over-reverse probes (Hessian diagonals) stay
+    on the kernel path: the derivative with the argmax held piecewise
+    constant is linear, ``d(unit)·t = -t A_{k*}``, served by
+    :func:`_hvp_map_pallas` instead of re-tracing the XLA scan scorer.
+    """
+    n_pad, d = x.shape
+    row_spec, col_spec = _row_specs(TILE_N, d)
+    return pl.pallas_call(
+        _unit_map_kernel,
+        grid=(n_pad // TILE_N,),
+        in_specs=[row_spec, col_spec,
+                  _full(aqt_hi), _full(aqt_lo), _full(bqt)],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        interpret=interpret,
+    )(x, argmax2, aqt_hi, aqt_lo, bqt)
+
+
+def _hvp_map_pallas(interpret, t, argmax2, aqt_hi, aqt_lo):
+    n_pad, d = t.shape
+    row_spec, col_spec = _row_specs(TILE_N, d)
+    return pl.pallas_call(
+        _hvp_map_kernel,
+        grid=(n_pad // TILE_N,),
+        in_specs=[row_spec, col_spec, _full(aqt_hi), _full(aqt_lo)],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        interpret=interpret,
+    )(t, argmax2, aqt_hi, aqt_lo)
+
+
+@_unit_map_pallas.defjvp
+def _unit_map_pallas_jvp(interpret, primals, tangents):
+    x, argmax2, aqt_hi, aqt_lo, bqt = primals
+    t_x = tangents[0]
+    unit = _unit_map_pallas(interpret, x, argmax2, aqt_hi, aqt_lo, bqt)
+    tangent = _hvp_map_pallas(interpret, t_x, argmax2, aqt_hi, aqt_lo)
+    return unit, tangent
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0, 1))
+def _unit_marg_pallas(interpret, mode, x, values2, *buffers):
+    """Marginalise-mode per-row gradient (softmax-weighted mixture)."""
+    n_pad, d = x.shape
+    row_spec, col_spec = _row_specs(_TILE_BWD_MARG, d)
+    return pl.pallas_call(
+        partial(_unit_marg_kernel, mode=mode),
+        grid=(n_pad // _TILE_BWD_MARG,),
+        in_specs=[row_spec, col_spec, *[_full(b) for b in buffers]],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        interpret=interpret,
+    )(x, values2, *buffers)
+
+
+@_unit_marg_pallas.defjvp
+def _unit_marg_pallas_jvp(interpret, mode, primals, tangents):
+    raise NotImplementedError(
+        "second-order differentiation of the Pallas GMM scorer is only "
+        "implemented for the MAP (max) reduction; use the XLA scan "
+        "scorer (config.force_pallas('off')) for marginalize=True "
+        "Hessian probes"
+    )
+
+
+def _grad_unit(patches, values, argmax, packed, interpret, precision,
+               marginalize):
+    """``d values / d patches`` per row, dispatched to the kernels."""
+    tile_n = _TILE_BWD_MARG if marginalize else TILE_N
+    n, d = patches.shape
+    n_pad = -(-n // tile_n) * tile_n
+    x = patches
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        argmax = jnp.pad(argmax, ((0, n_pad - n),))
+        values = jnp.pad(values, ((0, n_pad - n),))
+
+    aqt_hi, aqt_lo, bqt = packed["aqt_hi"], packed["aqt_lo"], packed["bqt"]
+
+    if not marginalize:
+        unit = _unit_map_pallas(
+            interpret, x, argmax[:, None], aqt_hi, aqt_lo, bqt
+        )
+    else:
+        mode = _mode(precision)
+        if mode == "split3":
+            aq_inputs = (packed["aq_hi"], packed["aq_lo"])
+        else:
+            aq_inputs = (packed["aq"],)
+        unit = _unit_marg_pallas(
+            interpret, mode, x, values[:, None], *aq_inputs,
+            packed["bq"], packed["const2"], aqt_hi, aqt_lo, bqt,
+        )
+    return unit[:n]
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(5, 6, 7))
 def gmm_score_pallas(patches, packed, means_prec, prec_chol, pixel_weights,
                      interpret=False, precision=lax.Precision.HIGHEST,
                      marginalize=False):
@@ -354,6 +478,17 @@ def gmm_score_pallas(patches, packed, means_prec, prec_chol, pixel_weights,
     selects the MXU mode for the main contraction: HIGHEST = float32
     operands (6 passes), HIGH = split-float bf16x3 (~2^-16 relative at
     3 passes), DEFAULT = raw bf16 (1 pass).
+
+    Differentiation is wired through nested ``jax.custom_jvp`` rather
+    than ``custom_vjp``: the JVP rule expresses ``d values = unit · t``
+    with ``unit`` the per-row score gradient (its own Pallas kernel,
+    itself custom_jvp'd for the MAP mode). First-order reverse mode
+    falls out by transposing the linear rule (the training path), and
+    forward-over-reverse Hessian probes (``TotalLoss.
+    hessian_diagonals``) run entirely on kernels — a ``custom_vjp``
+    backward would have no JVP rule and forced a multi-minute re-trace
+    of the XLA scan scorer at benchmark scale. Gradients flow to
+    ``patches`` only (the GMM buffers are frozen, as in the reference).
     """
     return _score_forward_pallas(
         patches, packed, interpret=interpret, precision=precision,
@@ -361,79 +496,18 @@ def gmm_score_pallas(patches, packed, means_prec, prec_chol, pixel_weights,
     )
 
 
-def _fwd(patches, packed, means_prec, prec_chol, pixel_weights, interpret,
-         precision, marginalize):
-    values, argmax = _score_forward_pallas(
-        patches, packed, interpret=interpret, precision=precision,
-        marginalize=marginalize,
+@gmm_score_pallas.defjvp
+def _gmm_score_pallas_jvp(interpret, precision, marginalize, primals,
+                          tangents):
+    patches, packed, means_prec, prec_chol, pixel_weights = primals
+    t_patches = tangents[0]
+    values, argmax = gmm_score_pallas(
+        patches, packed, means_prec, prec_chol, pixel_weights,
+        interpret, precision, marginalize,
     )
-    residuals = (patches, packed, means_prec, prec_chol, pixel_weights,
-                 argmax, values)
-    return (values, argmax), residuals
-
-
-def _bwd(interpret, precision, marginalize, residuals, cotangents):
-    (patches, packed, means_prec, prec_chol, pixel_weights, argmax,
-     values) = residuals
-    g_values, _ = cotangents
-
-    tile_n = _TILE_BWD_MARG if marginalize else TILE_N
-    n, d = patches.shape
-    n_pad = -(-n // tile_n) * tile_n
-    x = patches
-    if n_pad != n:
-        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
-        argmax = jnp.pad(argmax, ((0, n_pad - n),))
-        values = jnp.pad(values, ((0, n_pad - n),))
-        g_values = jnp.pad(g_values, ((0, n_pad - n),))
-    argmax2 = argmax[:, None]
-    values2 = values[:, None]
-    g2 = g_values[:, None].astype(jnp.float32)
-
-    aqt_hi, aqt_lo, bqt = packed["aqt_hi"], packed["aqt_lo"], packed["bqt"]
-
-    row_spec = pl.BlockSpec((tile_n, d), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    col_spec = pl.BlockSpec((tile_n, 1), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-
-    if not marginalize:
-        dx = pl.pallas_call(
-            _bwd_map_kernel,
-            grid=(n_pad // tile_n,),
-            in_specs=[row_spec, col_spec, col_spec,
-                      _full(aqt_hi), _full(aqt_lo), _full(bqt)],
-            out_specs=row_spec,
-            out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
-            interpret=interpret,
-        )(x, argmax2, g2, aqt_hi, aqt_lo, bqt)
-    else:
-        mode = _mode(precision)
-        if mode == "split3":
-            aq_inputs = (packed["aq_hi"], packed["aq_lo"])
-        else:
-            aq_inputs = (packed["aq"],)
-        dx = pl.pallas_call(
-            partial(_bwd_marg_kernel, mode=mode),
-            grid=(n_pad // tile_n,),
-            in_specs=[row_spec, col_spec, col_spec,
-                      *[_full(a) for a in aq_inputs],
-                      _full(packed["bq"]), _full(packed["const2"]),
-                      _full(aqt_hi), _full(aqt_lo), _full(bqt)],
-            out_specs=row_spec,
-            out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
-            interpret=interpret,
-        )(x, values2, g2, *aq_inputs, packed["bq"], packed["const2"],
-          aqt_hi, aqt_lo, bqt)
-
-    dx = dx[:n]
-    return (
-        dx,
-        jax.tree_util.tree_map(jnp.zeros_like, packed),
-        jnp.zeros_like(means_prec),
-        jnp.zeros_like(prec_chol),
-        jnp.zeros_like(pixel_weights),
+    unit = _grad_unit(
+        patches, values, argmax, packed, interpret, precision, marginalize
     )
-
-
-gmm_score_pallas.defvjp(_fwd, _bwd)
+    dvalues = jnp.sum(t_patches * unit, axis=1)
+    dargmax = np.zeros(argmax.shape, dtype=jax.dtypes.float0)
+    return (values, argmax), (dvalues, dargmax)
