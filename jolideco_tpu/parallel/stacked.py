@@ -493,15 +493,16 @@ class StackedPoissonLoss:
     def evaluate(self, fluxes, calibration_params=None):
         """Per-observation mean Poisson NLL: ``(N,)`` array.
 
-        The unsharded FFT path packs observation pairs into complex
-        transforms (~1.6x FFT throughput); when sharded over an ``obs``
-        mesh axis the per-observation vmap is kept so GSPMD partitions
-        one observation per device.
+        The FFT path packs observation pairs into complex transforms
+        (~1.6x FFT throughput). Under an ``obs`` mesh the packing is
+        kept when every device owns an even number of observations
+        (pairs stay shard-local — see :meth:`shard`); otherwise
+        ``shard`` drops the pair kernels and the per-observation vmap
+        lets GSPMD partition one observation per device.
         """
         if (
             self.conv_mode == "fft"
             and self.pair_kernels is not None
-            and not self.sharded
         ):
             return self._evaluate_packed_fft(fluxes, calibration_params)
         per_obs = self._per_obs_fn(fluxes)
@@ -598,9 +599,27 @@ class StackedPoissonLoss:
                 setattr(new, attr, shard_stacked(value, mesh))
         if self.dft_tables is not None:
             new.dft_tables = replicate(self.dft_tables, mesh)
-        # pair packing would halve the obs-sharding granularity; the
-        # sharded evaluation keeps one observation per device instead
-        new.pair_kernels = None
+        n_obs = int(self.counts.shape[0])
+        d_obs = int(mesh.shape["obs"])
+        per_device = n_obs // d_obs if n_obs % d_obs == 0 else 0
+        if (
+            self.pair_kernels is not None
+            and per_device > 0
+            and per_device % 2 == 0
+        ):
+            # adjacent-pair packing stays shard-local: contiguous block
+            # sharding gives each device an even observation count, so
+            # pairs (2i, 2i+1) never straddle devices and the packed
+            # complex FFTs keep their ~1.6x throughput under the mesh
+            # (each device runs per_device/2 packed transforms)
+            new.pair_kernels = {
+                name: tuple(shard_stacked(k, mesh) for k in pair)
+                for name, pair in self.pair_kernels.items()
+            }
+        else:
+            # pairs would straddle devices (odd per-device count or
+            # uneven split); keep one observation per device instead
+            new.pair_kernels = None
         new.sharded = True
         return new
 

@@ -278,6 +278,37 @@ def test_sharded_loss_matches_single_device(datasets, components):
     assert_allclose(np.asarray(g_sharded), np.asarray(g_single), rtol=1e-4)
 
 
+def test_sharded_keeps_pair_packed_ffts(datasets, components):
+    """With an even observation count per device the FFT pair packing
+    survives obs sharding: pairs (2i, 2i+1) are shard-local under
+    contiguous block sharding, so each device runs per_device/2 packed
+    complex FFTs instead of per_device real ones."""
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    assert stacked.pair_kernels is not None
+    fluxes = components.to_flux_tuple()
+    expected = np.asarray(stacked.evaluate(fluxes))
+
+    mesh4 = make_obs_mesh(n_devices=4)  # 8 obs / 4 devices = 2 per device
+    sharded = stacked.shard(mesh4)
+    assert sharded.pair_kernels is not None, "packing must stay active"
+    result = np.asarray(jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes))
+    assert_allclose(result, expected, rtol=1e-5)
+
+    def total(s, flux):
+        return jnp.sum(s.evaluate((flux,)))
+
+    g_single = jax.grad(total, argnums=1)(stacked, fluxes[0])
+    g_sharded = jax.jit(jax.grad(total, argnums=1))(sharded, fluxes[0])
+    assert_allclose(np.asarray(g_sharded), np.asarray(g_single), rtol=1e-4)
+
+    # one observation per device: pairs would straddle devices, so the
+    # packing is dropped and the per-obs vmap path runs
+    mesh8 = make_obs_mesh()
+    assert stacked.shard(mesh8).pair_kernels is None
+
+
 def test_joint_training_sharded_matches_unsharded(datasets):
     def build_components():
         rs = np.random.RandomState(642020)
