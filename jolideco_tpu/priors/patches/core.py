@@ -72,6 +72,14 @@ class GMMPatchPrior(Prior):
         Randomly jitter patch positions.
     marginalize : bool
         logsumexp over components instead of max.
+    patch_fraction : float
+        Fraction of patches to score per evaluation (stochastic,
+        unbiased). Sampling is by whole offset class — one of the
+        ``(patch/stride)**2`` non-overlapping tilings — so fractions at
+        or below ``1/(patch/stride)**2`` are snapped to exactly one
+        class: e.g. ``patch_fraction=0.1`` with an 8x8 patch at stride
+        4 scores 1/4 of the patches, not 1/10. Fractions above that
+        threshold fall back to scoring everything.
     seed : int
         Host-side PRNG seed for eager evaluation.
     """

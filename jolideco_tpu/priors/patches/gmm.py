@@ -42,6 +42,17 @@ log = logging.getLogger(__name__)
 BUILTIN_GMM_NAME = "builtin-8x8-v1"
 ASTRO_GMM_NAME = "astro-snr-v1"
 
+# Model names published by the reference's external
+# jolideco-gmm-prior-library (reference ``gmm.py:71``,
+# ``examples/first-steps.py:109``). Without that library installed they
+# resolve to a shipped substitute, with a warning.
+REFERENCE_LIBRARY_ALIASES = (
+    "zoran-weiss",
+    "gleam-v0.1",
+    "jwst-cas-a-v0.1",
+    "chandra-snrs-v0.1",
+)
+
 
 @dataclass(eq=False)
 class GaussianMixtureModelMeta:
@@ -274,6 +285,16 @@ class GaussianMixtureModel:
                 f"Not a supported GMM {name!r}, choose from {list(registry)}"
             )
         kwargs.update(registry[name])
+        substitute_of = kwargs.pop("substitute_of", None)
+        if substitute_of is not None:
+            log.warning(
+                f"GMM {name!r} refers to a model from the external "
+                "jolideco-gmm-prior-library, which is not installed "
+                "($JOLIDECO_GMM_LIBRARY unset or missing the entry); "
+                f"substituting the shipped {substitute_of!r} model. "
+                "Results will differ numerically from the reference "
+                "library model."
+            )
         gmm = cls.read(**kwargs)
         # remember the provenance so to_dict can serialise a registry
         # reference without rescanning (and re-reading) the registry
@@ -545,13 +566,21 @@ def _builtin_registry():
         registry[ASTRO_GMM_NAME] = {"filename": str(astro), "format": "npz"}
     # The reference's default prior GMM is "zoran-weiss" from the
     # external jolideco-gmm-prior-library. When that library is not
-    # installed, alias the common names to the closest shipped model
-    # so default configurations still run.
-    default = registry.get(ASTRO_GMM_NAME) or registry.get(BUILTIN_GMM_NAME)
-    if default:
-        for alias in ("zoran-weiss", "gleam-v0.1", "jwst-cas-a-v0.1",
-                      "chandra-snrs-v0.1"):
-            registry.setdefault(alias, default)
+    # installed, alias the common names to the closest shipped model so
+    # default configurations still run — but tag each alias entry with
+    # ``substitute_of`` so from_registry can warn that the numbers will
+    # differ from the actual library model. An external library index
+    # (merged later in get_gmm_registry) replaces the whole entry,
+    # marker included.
+    default_name = next(
+        (n for n in (ASTRO_GMM_NAME, BUILTIN_GMM_NAME) if n in registry), None
+    )
+    if default_name:
+        for alias in REFERENCE_LIBRARY_ALIASES:
+            registry.setdefault(
+                alias,
+                {**registry[default_name], "substitute_of": default_name},
+            )
     return registry
 
 

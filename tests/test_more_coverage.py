@@ -16,6 +16,7 @@ from jolideco_tpu import (
     SpatialFluxComponent,
 )
 from jolideco_tpu.data import gauss_and_point_sources_gauss_psf
+from jolideco_tpu.priors import GaussianMixtureModel
 from jolideco_tpu.utils.kernels import gaussian_kernel_2d
 
 
@@ -147,6 +148,84 @@ def test_gmm_registry_env_merge(tmp_path, monkeypatch):
     monkeypatch.delenv("JOLIDECO_GMM_LIBRARY")
     GMM_REGISTRY.refresh()
     assert "custom-gmm" not in GMM_REGISTRY
+
+
+@pytest.fixture
+def clean_gmm_registry():
+    """Refresh the lazy GMM registry after env-var manipulation, even
+    when the test body fails mid-way."""
+    from jolideco_tpu.priors.patches.gmm import GMM_REGISTRY
+
+    yield GMM_REGISTRY
+    GMM_REGISTRY.refresh()
+
+
+def test_gmm_alias_substitution_warns(
+    caplog, monkeypatch, clean_gmm_registry
+):
+    """Reference library names resolve to a shipped substitute when the
+    external jolideco-gmm-prior-library isn't installed — loudly, so
+    users know their numbers differ from the actual library model."""
+    import logging
+
+    monkeypatch.delenv("JOLIDECO_GMM_LIBRARY", raising=False)
+    clean_gmm_registry.refresh()
+
+    with caplog.at_level(logging.WARNING, "jolideco_tpu.priors.patches.gmm"):
+        gmm = GaussianMixtureModel.from_registry("zoran-weiss")
+    assert gmm.means.shape[-1] == 64
+    messages = [r.message for r in caplog.records]
+    assert any(
+        "zoran-weiss" in m and "substituting" in m for m in messages
+    ), messages
+
+    # shipped models resolve silently
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "jolideco_tpu.priors.patches.gmm"):
+        GaussianMixtureModel.from_registry("builtin-8x8-v1")
+    assert not caplog.records
+
+
+def test_gmm_external_library_round_trip(
+    tmp_path, monkeypatch, caplog, clean_gmm_registry
+):
+    """A real external-library directory (index JSON + model file, the
+    reference's $JOLIDECO_GMM_LIBRARY layout) overrides the alias
+    substitution: the model reads through the index with no warning and
+    returns the library's arrays."""
+    import json
+    import logging
+
+    rs = np.random.RandomState(7)
+    k, d = 3, 64
+    means = rs.normal(size=(k, d)).astype(np.float32)
+    eye = np.eye(d, dtype=np.float32)
+    covariances = np.stack([eye * (i + 1.0) for i in range(k)])
+    weights = np.full(k, 1.0 / k, dtype=np.float32)
+    np.savez(
+        tmp_path / "gmm-zoran-weiss.npz",
+        means=means,
+        covariances=covariances,
+        weights=weights,
+    )
+    index = {
+        "zoran-weiss": {
+            "filename": str(tmp_path / "gmm-zoran-weiss.npz"),
+            "format": "npz",
+        }
+    }
+    (tmp_path / "jolideco-gmm-library-index.json").write_text(
+        json.dumps(index)
+    )
+    monkeypatch.setenv("JOLIDECO_GMM_LIBRARY", str(tmp_path))
+    clean_gmm_registry.refresh()
+
+    with caplog.at_level(logging.WARNING, "jolideco_tpu.priors.patches.gmm"):
+        gmm = GaussianMixtureModel.from_registry("zoran-weiss")
+    assert not caplog.records  # library model: no substitution warning
+    assert_allclose(np.asarray(gmm.means), means, rtol=1e-6)
+    assert_allclose(np.asarray(gmm.weights), weights, rtol=1e-6)
+    assert gmm.covariances.shape == (k, d, d)
 
 
 def test_overwrite_protection(tmp_path):
