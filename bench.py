@@ -86,9 +86,10 @@ def main():
     parser.add_argument("--size", type=int, default=1024)
     parser.add_argument("--iters", type=int, default=1000)
     parser.add_argument("--gmm-k", type=int, default=200)
-    parser.add_argument("--gmm-name", default=None,
-                        help="use a registry GMM (e.g. astro-snr-v1) "
-                             "instead of the random benchmark GMM")
+    parser.add_argument("--gmm-name", default="astro-snr-v1",
+                        help="registry GMM to bench (the shipped default "
+                             "prior artifact), or 'random' for a "
+                             "synthesised same-shape GMM")
     parser.add_argument("--stride", type=int, default=4)
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--profile-dir", default=None,
@@ -111,6 +112,9 @@ def main():
     parser.add_argument("--conv-mode", default="fft",
                         choices=["fft", "direct", "mxu"],
                         help="PSF convolution implementation")
+    parser.add_argument("--no-persistent-cache", action="store_true",
+                        help="don't write the XLA compile cache to "
+                             "~/.cache/jolideco-tpu-xla")
     args = parser.parse_args()
 
     import jax
@@ -124,7 +128,8 @@ def main():
     # persistent XLA cache: repeated bench invocations skip the
     # ~40 s warm-up compile (the timed window is unaffected — it
     # reuses the warm-up run's in-process executables either way)
-    jt_config.enable_persistent_cache()
+    if not args.no_persistent_cache:
+        jt_config.enable_persistent_cache()
 
     if args.verbose:
         import logging
@@ -136,13 +141,14 @@ def main():
     datasets = make_datasets(n_obs=args.n_obs, size=args.size)
 
     if args.prior == "gmm":
-        if args.gmm_name:
+        if args.gmm_name == "random":
+            gmm = make_bench_gmm(k=args.gmm_k, stride=args.stride)
+        else:
             from jolideco_tpu.priors.patches.gmm import GaussianMixtureModel
 
             gmm = GaussianMixtureModel.from_registry(args.gmm_name)
-        else:
-            gmm = make_bench_gmm(k=args.gmm_k, stride=args.stride)
-        prior = GMMPatchPrior(gmm=gmm, cycle_spin=True,
+        # pin the protocol stride regardless of the GMM's meta default
+        prior = GMMPatchPrior(gmm=gmm, stride=args.stride, cycle_spin=True,
                               marginalize=args.marginalize,
                               patch_fraction=args.patch_fraction)
     else:
@@ -205,10 +211,18 @@ def main():
 
     iters_per_sec = args.iters / elapsed
     target_seconds = 60.0
+    if args.prior == "gmm":
+        k_actual = int(gmm.means.shape[0])
+        prior_desc = (
+            f"GMM patch prior [{args.gmm_name}] K={k_actual} "
+            f"stride {args.stride}"
+        )
+    else:
+        prior_desc = "uniform prior"
     out = {
         "metric": (
             f"Adam MAP iters/sec, joint {args.n_obs}-obs {args.size}^2, "
-            f"GMM patch prior K={args.gmm_k} stride {args.stride}"
+            f"{prior_desc}"
         ),
         "value": round(iters_per_sec, 3),
         "unit": "iters/sec",

@@ -94,6 +94,14 @@ class force_pallas:
     Used by second-order paths (Hessian flux errors): the Pallas
     backward kernels are not differentiable, so grad-of-grad probes
     trace the XLA scan scorer instead.
+
+    Caveats: the mode is a process-global read at *trace* time — it is
+    not thread-safe, and it does not invalidate jit caches compiled
+    under a different mode. Entering the context and calling an
+    already-compiled jitted function re-runs the old compilation; only
+    functions first traced inside the context pick the override up.
+    Safe for the eager ``hessian_diagonals`` usage; jitted callers
+    should thread the mode as a static argument instead.
     """
 
     def __init__(self, mode):

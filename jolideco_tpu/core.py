@@ -94,7 +94,9 @@ class MAPDeconvolver:
     scan_epochs : bool or None
         Run all epochs in one ``lax.scan`` (fastest; no per-epoch host
         callbacks). Default: auto — True when neither checkpointing nor
-        progress display is requested.
+        progress display is requested. Incompatible with
+        ``checkpoint_path`` (per-epoch checkpoint writes need the host
+        loop): requesting both warns and uses the host loop.
     trace_every : int
         Record the loss trace every N epochs (0 disables tracing; 1 =
         reference behaviour).
@@ -513,6 +515,17 @@ class MAPDeconvolver:
                                    SparseSpatialFluxComponent)):
             components = {self._default_flux_component: components}
         components = FluxComponents(components)
+        if self.device is not None:
+            # same placement rule as run(): a configured device applies
+            # to the data build too, so a prebuilt loss reused by run()
+            # doesn't live on a mismatched default device
+            device = self.device
+            if isinstance(device, str):
+                device = jax.devices(device)[0]
+            with jax.default_device(device):
+                return self._build_total_loss(
+                    datasets, datasets_validation, components, calibrations
+                )
         return self._build_total_loss(
             datasets, datasets_validation, components, calibrations
         )
@@ -613,6 +626,13 @@ class MAPDeconvolver:
         if use_scan is None:
             use_scan = (
                 self.checkpoint_path is None and not self.display_progress
+            )
+        elif use_scan and self.checkpoint_path is not None:
+            log.warning(
+                "scan_epochs=True is incompatible with checkpoint_path "
+                "(per-epoch checkpoint writes need the host loop); "
+                "falling back to the host loop. Set checkpoint_path=None "
+                "to run the compiled epoch scan."
             )
 
         if use_scan and self.checkpoint_path is None:

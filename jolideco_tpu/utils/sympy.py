@@ -1,36 +1,34 @@
-"""Symbolic helper used in prior docstrings (reference
-``jolideco/utils/sympy.py``): expand the log of a symbolic product into
-an explicit sum, so the closed-form log-priors documented on
-`InverseGammaPrior`/`ExponentialPrior` can be re-derived.
+"""Symbolic doc helper: expand the log of a symbolic product into an
+explicit sum, so the closed-form log-priors documented on
+``InverseGammaPrior``/``ExponentialPrior`` can be re-derived (same
+purpose as reference ``jolideco/utils/sympy.py``).
 """
 
 __all__ = ["concrete_expand_log"]
 
 
-def concrete_expand_log(expr, first_call=True):
-    """Expand ``log(Product(...))`` into ``Sum(log(...))`` explicitly.
+def concrete_expand_log(expr):
+    """Rewrite every ``log(Product(f, limits))`` as ``Sum(log(f), limits)``.
+
+    ``sympy.expand_log`` splits logs of explicit products/powers but
+    leaves symbolic ``Product`` nodes alone; this pushes the log
+    through those too, using sympy's own ``replace`` traversal.
 
     Parameters
     ----------
     expr : sympy expression
-    first_call : bool
-        Apply ``expand_log`` once at the top level.
+
+    Returns
+    -------
+    sympy expression with no ``log(Product(...))`` subexpressions.
     """
     import sympy as sp
 
-    if first_call:
-        expr = sp.expand_log(expr, force=True)
-
-    func = expr.func
-    args = expr.args
-
-    if args == ():
-        return expr
-
-    if func == sp.log and args[0].func == sp.concrete.products.Product:
-        prod = args[0]
-        term = prod.args[0]
-        indices = prod.args[1:]
-        return sp.Sum(sp.log(term), *indices)
-
-    return func(*(concrete_expand_log(arg, False) for arg in args))
+    expanded = sp.expand_log(expr, force=True)
+    return expanded.replace(
+        lambda node: node.func is sp.log
+        and node.args[0].func is sp.concrete.products.Product,
+        lambda node: sp.Sum(
+            sp.log(node.args[0].function), *node.args[0].limits
+        ),
+    )

@@ -387,6 +387,34 @@ def test_config_describes_run_fully():
     assert deco_mesh.to_dict()["mesh"] == "obs:8"
 
 
+def test_scan_epochs_with_checkpoint_warns(tmp_path, caplog, datasets_gauss):
+    """Explicitly requesting scan_epochs=True together with
+    checkpoint_path can't be honoured (per-epoch checkpoint writes need
+    the host loop) — it must warn, not silently run the slow path."""
+    import logging
+
+    deco = MAPDeconvolver(
+        n_epochs=2,
+        learning_rate=0.1,
+        display_progress=False,
+        scan_epochs=True,
+        checkpoint_path=tmp_path,
+    )
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=flux_init_32(), prior=UniformPrior()
+    )
+    with caplog.at_level(logging.WARNING, "jolideco_tpu.core"):
+        result = deco.run(datasets=datasets_gauss, components=components)
+    assert any(
+        "scan_epochs" in r.message and "checkpoint_path" in r.message
+        for r in caplog.records
+    ), [r.message for r in caplog.records]
+    # the host loop actually ran and wrote the checkpoints
+    assert result.checkpoint_path is not None
+    assert list(tmp_path.glob("checkpoint-epoch-*")), "no checkpoints written"
+
+
 def test_checkpoint_path_none(deconvolver_result):
     """No checkpointing configured -> checkpoint_path is None (not
     Path('None')) and read_checkpoint refuses loudly."""
