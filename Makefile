@@ -1,4 +1,4 @@
-.PHONY: test test-tpu bench parity lint
+.PHONY: test test-tpu test-tpu-artifact bench parity lint
 
 test:
 	python -m pytest tests/ -x -q
@@ -7,6 +7,11 @@ test:
 # (skips gracefully when no TPU is attached)
 test-tpu:
 	python -m pytest tests_tpu/ -q
+
+# same tier with per-test subprocess timeouts + TPUTESTS.json artifact:
+# a wedged TPU tunnel records a failure instead of hanging forever
+test-tpu-artifact:
+	python scripts/run_tpu_tests.py --out TPUTESTS.json
 
 bench:
 	python bench.py --verbose

@@ -15,3 +15,12 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent on-disk compile cache: the artifact runner
+# (scripts/run_tpu_tests.py) executes every test in its own subprocess,
+# so without this each process recompiles every executable from scratch
+# (~40 min for the tier). With it, re-runs complete in minutes and a
+# fresh run pays each compile once.
+from jolideco_tpu.config import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()

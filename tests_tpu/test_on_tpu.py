@@ -99,6 +99,46 @@ def test_pallas_gradient_compiled_matches_scan(gmm, patches, marginalize):
 
 
 @requires_device("tpu")
+def test_pallas_hvp_compiled_matches_scan(gmm, patches):
+    """Compiled forward-over-reverse (the Hessian-diagonal probe)
+    through the Pallas scorer's nested custom_jvp rules vs the XLA scan
+    scorer — the `compute_error` path must run on kernels without the
+    multi-minute scan-scorer re-trace (VERDICT r2 item 2)."""
+    from jolideco_tpu.ops.gmm_pallas import gmm_score_pallas
+    from jolideco_tpu.ops.gmm_score import gmm_score
+
+    args = (gmm.packed, gmm.means_precisions_cholesky,
+            gmm.precisions_cholesky, gmm.pixel_weights)
+    ones = jnp.ones_like(patches)
+
+    def loss_pallas(x):
+        return gmm_score_pallas(
+            x, *args, False, lax.Precision.HIGHEST, False
+        )[0].sum()
+
+    def loss_scan(x):
+        return gmm_score(
+            x,
+            gmm.means_precisions_cholesky,
+            gmm.precisions_cholesky,
+            gmm.log_det_cholesky,
+            gmm.log_weights,
+            gmm.pixel_weights,
+            marginalize=False,
+            precision=lax.Precision.HIGHEST,
+        )[0].sum()
+
+    hvp_pallas = np.asarray(jax.jit(
+        lambda x, t: jax.jvp(jax.grad(loss_pallas), (x,), (t,))[1]
+    )(patches, ones))
+    hvp_scan = np.asarray(jax.jit(
+        lambda x, t: jax.jvp(jax.grad(loss_scan), (x,), (t,))[1]
+    )(patches, ones))
+    scale = np.abs(hvp_scan).max()
+    assert_allclose(hvp_pallas / scale, hvp_scan / scale, atol=1e-4)
+
+
+@requires_device("tpu")
 def test_e2e_gmm_training_on_tpu():
     """Short end-to-end GMM-prior run, compiled scan on the chip."""
     from jolideco_tpu import (
