@@ -67,11 +67,14 @@ K_ALIGN = 128  # component padding: full MXU lane panels
 
 # VMEM at TILE_N rows: the u outer-product buffer is TILE_N x 4096 f32
 # plus its two broadcast factors; f32 A adds 4 MB. The HIGHEST mode
-# overflows the 16 MB scoped limit at 256 rows — halve its tile. The
-# marginalise backward recomputes the logits AND holds the selection
-# buffers, so it runs at half tile in every mode.
-_TILE_BY_MODE = {"highest": 128, "split3": 256, "default": 256}
+# would overflow the 16 MB scoped limit at 256 rows with the monolithic
+# u buffer, so it builds u in _HIGHEST_JB-column-group blocks
+# (TILE_N x JB*64 panels) accumulated through the MXU — full-tile
+# occupancy at ~8 MB peak. The marginalise backward recomputes the
+# logits AND holds the selection buffers, so it runs at half tile.
+_TILE_BY_MODE = {"highest": 256, "split3": 256, "default": 256}
 _TILE_BWD_MARG = 128
+_HIGHEST_JB = 16  # j-block: u panels of 16*64 = 1024 lanes
 
 
 def pallas_supported(n_features, n_components):
@@ -145,17 +148,22 @@ def pack_gmm_buffers(means_prec, prec_chol, log_det, log_weights,
     }
 
 
-def _outer_rows(x, d):
-    """Row-wise outer product ``u[n, j*d + e] = x[n, j] * x[n, e]``.
+def _outer_rows(x, d, j_lo=0, j_hi=None):
+    """Row-wise outer product ``u[n, (j - j_lo)*d + e] = x[n, j] x[n, e]``.
 
     ``pltpu.repeat`` TILES the lane vector (``[x0..x63, x0..x63, ...]``)
     — that is the e-cycling factor; the j-major factor concatenates
-    single-lane broadcasts.
+    single-lane broadcasts. ``j_lo/j_hi`` select a block of the outer
+    index so callers can stream u in panels instead of materialising
+    the full ``(TILE_N, d*d)`` buffer.
     """
-    xe = pltpu.repeat(x, d, axis=1)               # x_e cycling
+    if j_hi is None:
+        j_hi = d
+    n_j = j_hi - j_lo
+    xe = pltpu.repeat(x, n_j, axis=1)             # x_e cycling
     xj = jnp.concatenate(                         # x_j repeated d times
         [jax.lax.broadcast_in_dim(x[:, j:j + 1], (x.shape[0], d), (0, 1))
-         for j in range(d)],
+         for j in range(j_lo, j_hi)],
         axis=1,
     )
     return xj * xe
@@ -164,8 +172,8 @@ def _outer_rows(x, d):
 def _logits_block(x, aq_refs, bq_ref, const2_ref, mode):
     """Per-tile logits ``(TILE_N, K_pad)`` from the quadratic form."""
     d = x.shape[1]
-    u = _outer_rows(x, d)
     if mode == "split3":
+        u = _outer_rows(x, d)
         aq_hi, aq_lo = aq_refs
         u_hi = u.astype(jnp.bfloat16)
         u_lo = (u - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -174,14 +182,24 @@ def _logits_block(x, aq_refs, bq_ref, const2_ref, mode):
             + jnp.dot(u_lo, aq_hi[:], preferred_element_type=jnp.float32)
             + jnp.dot(u_hi, aq_lo[:], preferred_element_type=jnp.float32)
         )
-    else:
+    elif mode == "highest":
+        # f32 operands would need a (TILE_N, d*d) f32 u buffer; stream
+        # it in j-panels instead and accumulate the contraction so the
+        # full 256-row tile fits VMEM
         (aq,) = aq_refs
-        precision = (
-            lax.Precision.HIGHEST if mode == "highest"
-            else lax.Precision.DEFAULT
-        )
+        q = jnp.zeros((x.shape[0], aq.shape[1]), jnp.float32)
+        for j0 in range(0, d, _HIGHEST_JB):
+            u_blk = _outer_rows(x, d, j0, j0 + _HIGHEST_JB)
+            q = q + jnp.dot(
+                u_blk, aq[j0 * d:(j0 + _HIGHEST_JB) * d, :],
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+    else:
+        u = _outer_rows(x, d)
+        (aq,) = aq_refs
         q = jnp.dot(u, aq[:], preferred_element_type=jnp.float32,
-                    precision=precision)
+                    precision=lax.Precision.DEFAULT)
     # the b term is a tiny d-contraction; keep it exact
     xb = jnp.dot(x, bq_ref[:], preferred_element_type=jnp.float32,
                  precision=lax.Precision.HIGHEST)
