@@ -115,6 +115,11 @@ def main():
     parser.add_argument("--no-persistent-cache", action="store_true",
                         help="don't write the XLA compile cache to "
                              "~/.cache/jolideco-tpu-xla")
+    parser.add_argument("--update-strategy", default="joint",
+                        choices=["joint", "sequential"],
+                        help="joint = one step per epoch on the summed "
+                             "loss (headline); sequential = one step per "
+                             "dataset per epoch (reference semantics)")
     args = parser.parse_args()
 
     import jax
@@ -167,7 +172,7 @@ def main():
         n_epochs=args.iters,
         learning_rate=0.1,
         display_progress=False,
-        update_strategy="joint",
+        update_strategy=args.update_strategy,
         scan_epochs=True,
         scan_chunk=chunk,
         trace_every=0,
@@ -221,8 +226,8 @@ def main():
         prior_desc = "uniform prior"
     out = {
         "metric": (
-            f"Adam MAP iters/sec, joint {args.n_obs}-obs {args.size}^2, "
-            f"{prior_desc}"
+            f"Adam MAP iters/sec, {args.update_strategy} "
+            f"{args.n_obs}-obs {args.size}^2, {prior_desc}"
         ),
         "value": round(iters_per_sec, 3),
         "unit": "iters/sec",
