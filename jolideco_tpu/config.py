@@ -7,6 +7,10 @@ __all__ = [
     "set_use_pallas",
     "pallas_mode",
     "force_pallas",
+    "use_fused",
+    "set_use_fused",
+    "fused_enabled",
+    "force_fused",
     "set_gmm_precision",
     "gmm_precision",
     "enable_persistent_cache",
@@ -16,6 +20,13 @@ __all__ = [
 # "on": force Pallas (compiled). "interpret": Pallas in interpreter
 # mode (for CPU testing). "off": always the XLA fallback.
 _USE_PALLAS = "auto"
+
+# "auto": the fused image-level extraction+scoring kernel whenever the
+# Pallas dispatch is enabled and the shape supports it. "off": always
+# extract patches with XLA and score patch tiles. The fused path is
+# custom_vjp (reverse-mode only); forward-over-reverse probes disable
+# it via force_fused("off").
+_USE_FUSED = "auto"
 
 # MXU precision for GMM scoring matmuls:
 # - "high" (default): split-float bf16x3 Pallas path — measured 9e-6
@@ -131,3 +142,54 @@ def pallas_mode():
     # auto: enabled on TPU-ish default backends
     platform = jax.default_backend()
     return platform not in ("cpu",), False
+
+
+def set_use_fused(mode):
+    """Set the fused extraction+scoring dispatch: auto|off."""
+    global _USE_FUSED
+    if mode not in ("auto", "off"):
+        raise ValueError(f"invalid fused mode {mode!r}")
+    _USE_FUSED = mode
+
+
+def use_fused():
+    """Current fused-kernel dispatch mode."""
+    return _USE_FUSED
+
+
+def fused_enabled():
+    """Whether the fused image-level scorer may be dispatched.
+
+    Requires both the fused knob and the Pallas dispatch to be on;
+    shape support is checked separately at the call site
+    (``ops.gmm_fused.fused_supported``). Same trace-time/global
+    caveats as :func:`pallas_mode`.
+    """
+    if _USE_FUSED == "off":
+        return False
+    enabled, _ = pallas_mode()
+    return enabled
+
+
+class force_fused:
+    """Context manager: temporarily override the fused dispatch.
+
+    Used by second-order paths: the fused kernel is ``custom_vjp``
+    (no JVP rule), so forward-over-reverse Hessian probes re-trace
+    with the patch-level ``custom_jvp`` kernels instead. Same
+    trace-time/global caveats as :class:`force_pallas`.
+    """
+
+    def __init__(self, mode):
+        self.mode = mode
+
+    def __enter__(self):
+        global _USE_FUSED
+        self._saved = _USE_FUSED
+        set_use_fused(self.mode)
+        return self
+
+    def __exit__(self, *exc):
+        global _USE_FUSED
+        _USE_FUSED = self._saved
+        return False

@@ -289,7 +289,7 @@ class TotalLoss:
         differentiable loss — the reference silently drops the Poisson
         term (see module docstring).
         """
-        from .config import force_pallas
+        from .config import force_fused, force_pallas
 
         ones = tuple(jnp.ones_like(flux) for flux in fluxes)
 
@@ -299,15 +299,37 @@ class TotalLoss:
         # The Pallas scorer supports forward-over-reverse directly for
         # the MAP (max) reduction via nested custom_jvp rules — the
         # probe runs on the same kernels as training, no re-trace of
-        # the XLA scan scorer. Marginalise-mode GMM priors have no
-        # kernel JVP; they raise at trace time and fall back to the
-        # (fully differentiable, but slow-to-compile) XLA scan scorer.
-        try:
-            _, hvp = jax.jvp(jax.grad(f), (tuple(fluxes),), (ones,))
-        except NotImplementedError:
-            with force_pallas("off"):
-                _, hvp = jax.jvp(jax.grad(f), (tuple(fluxes),), (ones,))
-        return hvp
+        # the XLA scan scorer. Two trace-time fallbacks: the fused
+        # image-level scorer is custom_vjp (no JVP rule; jax raises
+        # TypeError), so re-trace with the patch-level kernels; and
+        # marginalise-mode GMM priors have no kernel JVP
+        # (NotImplementedError), so re-trace with the (fully
+        # differentiable, but slow-to-compile) XLA scan scorer.
+        from contextlib import ExitStack
+
+        stages = (
+            {},
+            {"fused": "off"},
+            {"fused": "off", "pallas": "off"},
+        )
+        for i, stage in enumerate(stages):
+            last = i == len(stages) - 1
+            try:
+                with ExitStack() as stack:
+                    if "fused" in stage:
+                        stack.enter_context(force_fused(stage["fused"]))
+                    if "pallas" in stage:
+                        stack.enter_context(force_pallas(stage["pallas"]))
+                    _, hvp = jax.jvp(
+                        jax.grad(f), (tuple(fluxes),), (ones,)
+                    )
+                return hvp
+            except TypeError as err:
+                if last or "custom_vjp" not in str(err):
+                    raise
+            except NotImplementedError:
+                if last:
+                    raise
 
     def fluxes_error(self, fluxes, key=None):
         """Flux errors ``1 / sqrt(H_diag)`` per component."""

@@ -1,0 +1,416 @@
+"""Fused patch-extraction + GMM scoring Pallas kernel.
+
+The grouped XLA patch extraction (``ops.patches.
+view_as_overlapping_patches_grouped``) costs ~1.1 ms/iteration at
+benchmark scale (10 obs, 1024², 8×8 patches, stride 4) in lane-crossing
+space-to-depth copies, plus ~0.3 ms of mean-subtract / zero-flux-mask
+fusions — pure data movement that the TPU's vector memory layout
+handles badly. This module moves the whole pipeline
+
+    image → shifted offset-group slices → patches → zero-flux mask →
+    mean subtraction → quadratic-form GMM scores
+
+into one Pallas kernel per image strip, using an MXU permutation
+matmul for the extraction (reference behaviour:
+``jolideco/priors/patches/core.py:189-246`` extraction + masking +
+normalisation feeding ``jolideco/priors/patches/gmm.py:262-281``
+scoring):
+
+- A strip of ``p`` image rows ``(p, C)`` holds one row of ``C/p``
+  non-overlapping patches of an offset group. The de-interleave
+  ``strip[r, p·j + c] → xT[(r,c), j]`` is an unsupported Mosaic shape
+  cast directly, but becomes two *supported* reshapes after a one-hot
+  permutation matmul ``Y = strip @ S`` with
+  ``S[p·j + c, c·(C/p) + j] = 1`` — data movement done on the MXU,
+  the TPU-native trick. One-hot products are exact per element, so a
+  three-way bf16 split of the f32 operand (3 × 8 = 24 mantissa bits)
+  reconstructs float32 exactly.
+- The scorer then runs in the transposed formulation
+  ``qT = AqT · uT`` with ``uT[(a,b), j] = xT[a,j] · xT[b,j]`` and a
+  sublane max/argmax — same math as ``gmm_pallas._logits_block``,
+  feature-major.
+- The backward selects ``A_{k*}`` columns with a one-hot matmul
+  (exact, like ``gmm_pallas._select_contract``), applies the
+  mean-subtraction and validity transposes in-register, and returns
+  to image layout through the inverse permutation matmul — the
+  training step never materialises a patch matrix in row-major
+  layout, and the only full-size HBM intermediate is the
+  feature-major ``(64, N)`` normalised-patch tensor saved for the
+  backward (a straight store, no relayout).
+
+Differentiation is ``jax.custom_vjp`` (a Pallas backward cannot be
+expressed as a transposable JVP). Forward-over-reverse probes
+(``TotalLoss.hessian_diagonals``) therefore cannot differentiate
+through the fused path — they fall back to the patch-level
+``custom_jvp`` kernels via ``config.force_fused("off")``.
+"""
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "fused_supported",
+    "gmm_score_fused_image",
+    "fused_patch_count",
+]
+
+# lane-chunk width: strips are processed in (p, CHUNK) panels so the
+# permutation matrix stays (CHUNK, CHUNK) regardless of image width
+CHUNK = 1024
+_PATCH = 8
+_D = _PATCH * _PATCH
+_NXC = CHUNK // _PATCH  # 128 patches per chunk
+
+
+def fused_supported(image_shape, patch_shape, stride, n_features):
+    """Whether the fused image-level scorer applies.
+
+    Requires 8×8 patches (d = 64), stride dividing the patch edge,
+    and an image whose width is a multiple of the 1024-lane chunk
+    (the scale where extraction cost matters; smaller images use the
+    XLA extraction path).
+    """
+    h, w = image_shape[-2:]
+    p = patch_shape[0]
+    return (
+        p == _PATCH
+        and patch_shape[1] == p
+        and n_features == _D
+        and p % stride == 0
+        and h % p == 0
+        and w >= CHUNK
+        and w % CHUNK == 0
+        and h >= p
+    )
+
+
+@lru_cache(maxsize=4)
+def _perm_matrices():
+    """One-hot de-interleave matrix S and its transpose (host-side).
+
+    ``S[p·j + c, c·NXC + j] = 1`` so ``(strip @ S)`` reorders lanes
+    from pixel-major to (feature-offset)-major.
+    """
+    s = np.zeros((CHUNK, CHUNK), np.float32)
+    for j in range(_NXC):
+        for c in range(_PATCH):
+            s[_PATCH * j + c, c * _NXC + j] = 1.0
+    return s, np.ascontiguousarray(s.T)
+
+
+def _offsets(stride):
+    return [(a, b) for a in range(0, _PATCH, stride)
+            for b in range(0, _PATCH, stride)]
+
+
+def fused_patch_count(image_shape, stride):
+    """Total (padded) patch count of the fused enumeration."""
+    h, w = image_shape[-2:]
+    n_groups = (_PATCH // stride) ** 2
+    return n_groups * (h // _PATCH) * (w // _PATCH)
+
+
+@lru_cache(maxsize=16)
+def _grid_mask_np(h, w, stride):
+    """Static real-patch mask in fused order ``(rows, 128)`` f32.
+
+    Fused order: group-major, then strip, then lane chunk, then lane.
+    Patch ``(i, j)`` of group ``(a, b)`` is real iff it lies fully
+    inside the unpadded image: ``i < (h-a)//p`` and ``j < (w-b)//p``.
+    """
+    ny, wc = h // _PATCH, w // CHUNK
+    rows = []
+    for a, b in _offsets(stride):
+        na, nb = (h - a) // _PATCH, (w - b) // _PATCH
+        jvalid = (np.arange(ny * wc * _NXC).reshape(ny, wc * _NXC)
+                  % (wc * _NXC) < nb)
+        ivalid = (np.arange(ny) < na)[:, None]
+        rows.append((jvalid & ivalid).reshape(ny * wc, _NXC))
+    return np.concatenate(rows, axis=0).astype(np.float32)
+
+
+def _split3(a):
+    """Three-way bf16 split: hi + mid + lo reconstructs f32 exactly."""
+    hi = a.astype(jnp.bfloat16)
+    r1 = a - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _permute_exact(strip, s_ref):
+    """Exact f32 ``strip @ S`` for a one-hot ``S`` (bf16 operands)."""
+    hi, mid, lo = _split3(strip)
+    return (
+        jnp.dot(hi, s_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(mid, s_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(lo, s_ref[:], preferred_element_type=jnp.float32)
+    )
+
+
+def _outer_cols(xt):
+    """``uT[(a,b), j] = xT[a, j] · xT[b, j]`` — ``(d², NXC)``."""
+    xa = jnp.concatenate(
+        [lax.broadcast_in_dim(xt[a:a + 1, :], (_D, _NXC), (0, 1))
+         for a in range(_D)],
+        axis=0,
+    )
+    xb = pltpu.repeat(xt, _D, axis=0)
+    return xa * xb
+
+
+def _fwd_kernel(img_ref, mask_ref, s_ref, *refs, mode, sentinel):
+    if mode == "split3":
+        aqt_hi_ref, aqt_lo_ref, bqt_ref, c2t_ref, \
+            values_ref, argmax_ref, valid_ref, xtn_ref = refs
+    else:
+        aqt_ref, bqt_ref, c2t_ref, \
+            values_ref, argmax_ref, valid_ref, xtn_ref = refs
+
+    strip = img_ref[0, 0]                       # (p, CHUNK)
+    y = _permute_exact(strip, s_ref)            # (p, CHUNK) reordered
+    xt = y.reshape(_PATCH, _PATCH, _NXC).reshape(_D, _NXC)
+
+    sentinel_ok = jnp.all(xt > sentinel, axis=0, keepdims=True)
+    valid = jnp.where(sentinel_ok, mask_ref[0], 0.0)    # (1, NXC) f32
+    xt = xt * valid
+    mean = jnp.mean(xt, axis=0, keepdims=True)
+    xtn = xt - mean
+    xtn_ref[:] = xtn
+    valid_ref[0] = valid
+
+    ut = _outer_cols(xtn)                       # (d², NXC)
+    if mode == "split3":
+        ut_hi = ut.astype(jnp.bfloat16)
+        ut_lo = (ut - ut_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        qt = (
+            jnp.dot(aqt_hi_ref[:], ut_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(aqt_hi_ref[:], ut_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(aqt_lo_ref[:], ut_hi, preferred_element_type=jnp.float32)
+        )
+    else:
+        prec = (lax.Precision.HIGHEST if mode == "highest"
+                else lax.Precision.DEFAULT)
+        qt = jnp.dot(aqt_ref[:], ut, preferred_element_type=jnp.float32,
+                     precision=prec)
+    xb = jnp.dot(bqt_ref[:], xtn, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)
+    logits = -0.5 * qt + xb + c2t_ref[:]        # (K_pad, NXC)
+
+    best = jnp.max(logits, axis=0, keepdims=True)
+    sub = lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    argmax_ref[0] = jnp.min(
+        jnp.where(logits >= best, sub, logits.shape[0]),
+        axis=0, keepdims=True,
+    )
+    values_ref[0] = best
+
+
+def _bwd_kernel(xtn_ref, argmax_ref, valid_ref, dval_ref, st_ref,
+                aq_hi_ref, aq_lo_ref, bq_ref, dimg_ref):
+    xtn = xtn_ref[:]                            # (d, NXC)
+    k_pad = aq_hi_ref.shape[1]
+    sub = lax.broadcasted_iota(jnp.int32, (k_pad, _NXC), 0)
+    onehot = (sub == argmax_ref[0]).astype(jnp.bfloat16)
+
+    # A_{k*} column selection on the MXU: one-hot products copy the
+    # bf16 hi/lo split exactly, f32 accumulate reconstructs f32 A
+    arowt = (
+        jnp.dot(aq_hi_ref[:], onehot, preferred_element_type=jnp.float32)
+        + jnp.dot(aq_lo_ref[:], onehot, preferred_element_type=jnp.float32)
+    )                                           # (d², NXC)
+    ar3 = arowt.reshape(_D, _D, _NXC)           # (a, b, j)
+    xa = jnp.sum(ar3 * xtn[None, :, :], axis=1)  # (d, NXC)
+
+    bsel = jnp.dot(bq_ref[:], onehot.astype(jnp.float32),
+                   preferred_element_type=jnp.float32,
+                   precision=lax.Precision.HIGHEST)
+
+    dxtn = (bsel - xa) * dval_ref[0]            # d/d xtn, scaled
+    # transpose of the mean subtraction, then of the validity mask
+    dxt = dxtn - jnp.mean(dxtn, axis=0, keepdims=True)
+    dxt = dxt * valid_ref[0]
+
+    dy = dxt.reshape(_PATCH, _PATCH, _NXC).reshape(_PATCH, CHUNK)
+    dimg_ref[0, 0] = _permute_exact(dy, st_ref)
+
+
+def _mode(precision):
+    if precision == lax.Precision.HIGH:
+        return "split3"
+    if precision == lax.Precision.HIGHEST:
+        return "highest"
+    return "default"
+
+
+def _full(a):
+    return pl.BlockSpec(a.shape, lambda g, i, c: (0,) * a.ndim,
+                        memory_space=pltpu.VMEM)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_score(interpret, mode, sentinel, imgs, mask2, buffers):
+    out, _ = _fused_forward(interpret, mode, sentinel, imgs, mask2,
+                            buffers)
+    return out
+
+
+def _fused_forward(interpret, mode, sentinel, imgs, mask2, buffers):
+    g_, ny, p, w = imgs.shape
+    wc = w // CHUNK
+    nrows = g_ * ny * wc
+    n = nrows * _NXC
+
+    if mode == "split3":
+        aq_inputs = (buffers["aqt_hi"], buffers["aqt_lo"])
+    else:
+        aq_inputs = (buffers["aqt"],)
+    bqt, c2t = buffers["bqt"], buffers["const2t"]
+    s_mat = buffers["s"]
+
+    def row_ix(g, i, c):
+        return ((g * ny + i) * wc + c, 0, 0)
+
+    # per-row outputs are (nrows, 1, NXC) so the (1, 1, NXC) block
+    # matches the trailing dims exactly (Mosaic block-shape rule)
+    row = pl.BlockSpec((1, 1, _NXC), row_ix, memory_space=pltpu.VMEM)
+    xtn_spec = pl.BlockSpec(
+        (_D, _NXC), lambda g, i, c: (0, (g * ny + i) * wc + c),
+        memory_space=pltpu.VMEM,
+    )
+
+    values2, argmax2, valid2, xtn = pl.pallas_call(
+        partial(_fwd_kernel, mode=mode, sentinel=sentinel),
+        grid=(g_, ny, wc),
+        in_specs=[
+            pl.BlockSpec((1, 1, p, CHUNK), lambda g, i, c: (g, i, 0, c),
+                         memory_space=pltpu.VMEM),
+            row,
+            _full(s_mat),
+            *[_full(a) for a in aq_inputs],
+            _full(bqt),
+            _full(c2t),
+        ],
+        out_specs=[row, row, row, xtn_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nrows, 1, _NXC), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, 1, _NXC), jnp.int32),
+            jax.ShapeDtypeStruct((nrows, 1, _NXC), jnp.float32),
+            jax.ShapeDtypeStruct((_D, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(imgs, mask2, s_mat, *aq_inputs, bqt, c2t)
+
+    return (values2, argmax2, valid2), (xtn, argmax2, valid2)
+
+
+def _fused_fwd(interpret, mode, sentinel, imgs, mask2, buffers):
+    out, res = _fused_forward(interpret, mode, sentinel, imgs, mask2,
+                              buffers)
+    return out, (res, imgs.shape, buffers)
+
+
+def _fused_bwd(interpret, mode, sentinel, residuals, cotangents):
+    (xtn, argmax2, valid2), img_shape, buffers = residuals
+    dvalues2, _, _ = cotangents
+    g_, ny, p, w = img_shape
+    wc = w // CHUNK
+    nrows = g_ * ny * wc
+
+    def row_ix(g, i, c):
+        return ((g * ny + i) * wc + c, 0, 0)
+
+    row = pl.BlockSpec((1, 1, _NXC), row_ix, memory_space=pltpu.VMEM)
+    xtn_spec = pl.BlockSpec(
+        (_D, _NXC), lambda g, i, c: (0, (g * ny + i) * wc + c),
+        memory_space=pltpu.VMEM,
+    )
+
+    dimgs = pl.pallas_call(
+        _bwd_kernel,
+        grid=(g_, ny, wc),
+        in_specs=[
+            xtn_spec, row, row, row,
+            _full(buffers["st"]),
+            _full(buffers["aq_hi"]),
+            _full(buffers["aq_lo"]),
+            _full(buffers["bq"]),
+        ],
+        out_specs=pl.BlockSpec((1, 1, p, CHUNK),
+                               lambda g, i, c: (g, i, 0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(img_shape, jnp.float32),
+        interpret=interpret,
+    )(xtn, argmax2, valid2, dvalues2, buffers["st"], buffers["aq_hi"],
+      buffers["aq_lo"], buffers["bq"])
+
+    zeros_mask = jnp.zeros((nrows, 1, _NXC), jnp.float32)
+    zeros_buffers = jax.tree.map(jnp.zeros_like, buffers)
+    return dimgs, zeros_mask, zeros_buffers
+
+
+_fused_score.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _fused_buffers(packed):
+    """Kernel-ready buffer dict from ``pack_gmm_buffers`` output."""
+    s_np, st_np = _perm_matrices()
+    return {
+        "s": jnp.asarray(s_np, jnp.bfloat16),
+        "st": jnp.asarray(st_np, jnp.bfloat16),
+        "aqt": packed["aqt"],
+        "aqt_hi": packed["aqt_hi"],
+        "aqt_lo": packed["aqt_lo"],
+        "aq_hi": packed["aq_hi"],
+        "aq_lo": packed["aq_lo"],
+        "bq": packed["bq"],
+        "bqt": packed["bqt"],
+        "const2t": packed["const2"].T,
+    }
+
+
+def gmm_score_fused_image(normed, patch_shape, stride, packed, sentinel,
+                          interpret=False,
+                          precision=lax.Precision.HIGH):
+    """Score all overlapping patches of ``normed`` directly.
+
+    Fused equivalent of grouped extraction + zero-flux masking +
+    mean-subtraction patch norm + ``gmm_score_pallas`` (MAP mode).
+    Patches are enumerated group-major over ``(p/s)²`` offset groups,
+    each padded to the full ``(h/p, w/p)`` tiling; padded entries come
+    back with ``valid == False``.
+
+    Returns ``(values (N,), argmax (N,), valid bool (N,))`` with
+    ``N = fused_patch_count(normed.shape, stride)``.
+    """
+    h, w = normed.shape[-2:]
+    if not fused_supported(normed.shape, patch_shape, stride, _D):
+        raise ValueError("fused scorer does not support this shape")
+
+    img = normed.reshape(h, w)
+    padded = jnp.pad(img, ((0, _PATCH), (0, _PATCH)))
+    groups = [
+        lax.slice(padded, (a, b), (a + h, b + w))
+        for a, b in _offsets(stride)
+    ]
+    imgs = jnp.stack(groups).reshape(len(groups), h // _PATCH, _PATCH, w)
+
+    mask2 = jnp.asarray(_grid_mask_np(h, w, stride))[:, None, :]
+    buffers = _fused_buffers(packed)
+
+    mode = _mode(precision)
+    values2, argmax2, valid2 = _fused_score(
+        interpret, mode, float(sentinel), imgs, mask2, buffers
+    )
+    return (
+        values2.reshape(-1),
+        argmax2.reshape(-1),
+        valid2.reshape(-1) > 0.5,
+    )

@@ -158,13 +158,38 @@ class GMMPatchPrior(Prior):
         if params and "norm" in params:
             self.norm.set_parameters(params["norm"])
 
+    def _fused_ok(self, normed_shape):
+        """Whether the fused image-level Pallas scorer applies here."""
+        from ...config import fused_enabled
+        from ...ops.gmm_fused import fused_supported
+        from ...utils.norms import SubtractMeanPatchNorm
+
+        return (
+            fused_enabled()
+            and not self.jitter
+            and self.patch_fraction >= 1.0
+            and not self.marginalize
+            and self._grouped_ok
+            and type(self.patch_norm) is SubtractMeanPatchNorm
+            and self.gmm.packed is not None
+            and fused_supported(
+                normed_shape, self.patch_shape, self.stride,
+                self.gmm.means.shape[-1],
+            )
+        )
+
     # ------------------------------------------------------------------
-    def _evaluate_log_like(self, flux, params=None, key=None):
+    def _evaluate_log_like(self, flux, params=None, key=None, fused=None):
         """Per-patch log-likelihoods, validity mask and metadata.
 
         Returns ``(values, argmax, valid, patch_means, shifts,
         subsample_scale)`` where
         ``values``/``argmax`` come from the streaming GMM scorer.
+        ``fused=None`` auto-dispatches the fused image-level kernel
+        (extraction + masking + mean subtraction + scoring in one
+        Pallas pass, ``ops.gmm_fused``) when supported; the fused
+        path enumerates padded group tilings (padded entries come
+        back invalid) and returns ``patch_means=None``.
         """
         if key is None:
             key = self.next_key()
@@ -181,6 +206,20 @@ class GMMPatchPrior(Prior):
 
         if self.cycle_spin_subpix:
             normed = cycle_spin_subpixel(key_subpix, normed)
+
+        if fused is None:
+            fused = self._fused_ok(normed.shape)
+        if fused:
+            from ...config import gmm_precision, pallas_mode
+            from ...ops.gmm_fused import gmm_score_fused_image
+
+            _, interpret = pallas_mode()
+            values, argmax, valid = gmm_score_fused_image(
+                normed, self.patch_shape, self.stride, self.gmm.packed,
+                ZERO_FLUX_SENTINEL, interpret=interpret,
+                precision=gmm_precision(),
+            )
+            return values, argmax, valid, None, shifts, 1.0
 
         n_groups = (self.patch_shape[0] // self.stride) ** 2 \
             if self._grouped_ok else 0
@@ -276,8 +315,10 @@ class GMMPatchPrior(Prior):
             )
 
         flux = jnp.asarray(flux)
+        # fused=False: the diagnostic needs patch means and the grouped
+        # corner enumeration, which the fused kernel does not produce
         _, argmax, valid, patch_means, shifts, _ = self._evaluate_log_like(
-            flux
+            flux, fused=False
         )
 
         idx = np.asarray(argmax)

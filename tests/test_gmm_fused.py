@@ -1,0 +1,246 @@
+"""Fused image-level GMM scorer vs the patch-level pipeline.
+
+All tests run the Pallas kernels in interpret mode on the CPU backend
+(see ``conftest.py``); compiled equivalence is covered on-chip by
+``tests_tpu``.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from jolideco_tpu import config
+from jolideco_tpu.ops.gmm_fused import (
+    fused_patch_count,
+    fused_supported,
+    gmm_score_fused_image,
+)
+from jolideco_tpu.ops.gmm_pallas import gmm_score_pallas
+from jolideco_tpu.priors import GaussianMixtureModel, GMMPatchPrior
+from jolideco_tpu.priors.patches.core import ZERO_FLUX_SENTINEL
+
+P = 8
+H, W, STRIDE = 16, 1024, 4
+
+
+@pytest.fixture(scope="module")
+def gmm():
+    return GaussianMixtureModel.from_registry("builtin-8x8-v1")
+
+
+@pytest.fixture(scope="module")
+def image():
+    rs = np.random.RandomState(7)
+    img = rs.uniform(0.1, 2.0, size=(H, W)).astype(np.float32)
+    # a zero-flux region exercising the sentinel mask
+    img[:P, :2 * P] = 2.0 * ZERO_FLUX_SENTINEL
+    return img
+
+
+@pytest.fixture(scope="module")
+def flux_image():
+    """A well-scaled strictly-positive flux for prior-level tests."""
+    rs = np.random.RandomState(8)
+    return rs.uniform(0.1, 2.0, size=(H, W)).astype(np.float32)
+
+
+def _manual_enumeration(img, stride):
+    """Patches in the fused order: group-major over padded tilings."""
+    pad = np.pad(img, ((0, P), (0, P)))
+    h, w = img.shape
+    rows, valids = [], []
+    for a in range(0, P, stride):
+        for b in range(0, P, stride):
+            na, nb = (h - a) // P, (w - b) // P
+            for i in range(h // P):
+                for j in range(w // P):
+                    patch = pad[a + P * i:a + P * i + P,
+                                b + P * j:b + P * j + P].reshape(-1)
+                    real = (i < na) and (j < nb)
+                    v = real and bool((patch > ZERO_FLUX_SENTINEL).all())
+                    x = np.where(v, patch, 0.0)
+                    rows.append(x - x.mean())
+                    valids.append(v)
+    return np.stack(rows).astype(np.float32), np.asarray(valids)
+
+
+def test_supported_gating():
+    assert fused_supported((H, W), (P, P), 4, 64)
+    assert fused_supported((2048, 2048), (P, P), 2, 64)
+    assert not fused_supported((64, 64), (P, P), 4, 64)  # narrow image
+    assert not fused_supported((H, W + 8), (P, P), 4, 64)  # w % 1024
+    assert not fused_supported((H, W), (16, 16), 4, 256)  # 16x16 GMM
+    assert not fused_supported((H, W), (P, P), 3, 64)  # stride ∤ patch
+
+
+@pytest.mark.parametrize("stride", [4, 8])
+def test_fused_matches_manual_enumeration(gmm, image, stride):
+    x_ref, valid_ref = _manual_enumeration(image, stride)
+    v_ref, a_ref = gmm_score_pallas(
+        jnp.asarray(x_ref), gmm.packed, gmm.means_precisions_cholesky,
+        gmm.precisions_cholesky, gmm.pixel_weights, True,
+        lax.Precision.HIGH, False,
+    )
+    values, argmax, valid = gmm_score_fused_image(
+        jnp.asarray(image), (P, P), stride, gmm.packed,
+        ZERO_FLUX_SENTINEL, interpret=True,
+        precision=lax.Precision.HIGH,
+    )
+    assert values.shape[0] == fused_patch_count(image.shape, stride)
+    assert np.array_equal(np.asarray(valid), valid_ref)
+    m = valid_ref
+    assert_allclose(np.asarray(values)[m], np.asarray(v_ref)[m],
+                    rtol=2e-4, atol=2e-4)
+    assert np.array_equal(np.asarray(argmax)[m], np.asarray(a_ref)[m])
+
+
+@pytest.mark.parametrize("precision", [lax.Precision.DEFAULT,
+                                       lax.Precision.HIGHEST])
+def test_fused_precision_modes(gmm, image, precision):
+    x_ref, valid_ref = _manual_enumeration(image, STRIDE)
+    v_ref, _ = gmm_score_pallas(
+        jnp.asarray(x_ref), gmm.packed, gmm.means_precisions_cholesky,
+        gmm.precisions_cholesky, gmm.pixel_weights, True,
+        precision, False,
+    )
+    values, _, _ = gmm_score_fused_image(
+        jnp.asarray(image), (P, P), STRIDE, gmm.packed,
+        ZERO_FLUX_SENTINEL, interpret=True, precision=precision,
+    )
+    tol = 2e-2 if precision == lax.Precision.DEFAULT else 1e-5
+    m = valid_ref
+    assert_allclose(np.asarray(values)[m], np.asarray(v_ref)[m],
+                    rtol=tol, atol=tol)
+
+
+def test_fused_gradient_matches_patch_pipeline(gmm, image):
+    """Reverse-mode through the fused custom_vjp equals autodiff of the
+    explicit slice/extract/mask/normalise/score graph."""
+
+    def f_fused(x):
+        v, _, vd = gmm_score_fused_image(
+            x, (P, P), STRIDE, gmm.packed, ZERO_FLUX_SENTINEL,
+            interpret=True, precision=lax.Precision.HIGH,
+        )
+        return jnp.sum(jnp.where(vd, v, 0.0))
+
+    def f_ref(x):
+        pad = jnp.pad(x, ((0, P), (0, P)))
+        rows, real = [], []
+        for a in range(0, P, STRIDE):
+            for b in range(0, P, STRIDE):
+                na, nb = (H - a) // P, (W - b) // P
+                for i in range(H // P):
+                    for j in range(W // P):
+                        patch = lax.slice(
+                            pad, (a + P * i, b + P * j),
+                            (a + P * i + P, b + P * j + P),
+                        ).reshape(-1)
+                        rows.append(patch)
+                        real.append((i < na) and (j < nb))
+        xj = jnp.stack(rows)
+        sv = jnp.all(xj > ZERO_FLUX_SENTINEL, axis=1) & jnp.asarray(real)
+        xj = jnp.where(sv[:, None], xj, 0.0)
+        xj = xj - jnp.mean(xj, axis=1, keepdims=True)
+        v, _ = gmm_score_pallas(
+            xj, gmm.packed, gmm.means_precisions_cholesky,
+            gmm.precisions_cholesky, gmm.pixel_weights, True,
+            lax.Precision.HIGH, False,
+        )
+        return jnp.sum(jnp.where(sv, v, 0.0))
+
+    x = jnp.asarray(image)
+    g_fused = np.asarray(jax.grad(f_fused)(x))
+    g_ref = np.asarray(jax.grad(f_ref)(x))
+    scale = np.abs(g_ref).max()
+    assert_allclose(g_fused / scale, g_ref / scale, atol=1e-5)
+
+
+def test_prior_call_fused_matches_unfused(gmm, flux_image):
+    prior = GMMPatchPrior(gmm=gmm, stride=STRIDE, cycle_spin=True)
+    flux = jnp.asarray(flux_image)
+    key = jax.random.PRNGKey(11)
+
+    with config.force_pallas("interpret"):
+        assert prior._fused_ok(flux.shape)
+        lp_fused = prior(flux, key=key)
+        g_fused = jax.grad(lambda x: prior(x, key=key))(flux)
+        with config.force_fused("off"):
+            lp_ref = prior(flux, key=key)
+            g_ref = jax.grad(lambda x: prior(x, key=key))(flux)
+
+    assert_allclose(float(lp_fused), float(lp_ref), rtol=1e-5)
+    scale = float(jnp.abs(g_ref).max())
+    assert_allclose(np.asarray(g_fused) / scale,
+                    np.asarray(g_ref) / scale, atol=1e-5)
+
+
+def test_prior_fused_gating(gmm):
+    """Marginalise, non-mean patch norms, jitter and subsampling all
+    keep the patch-level path."""
+    from jolideco_tpu.utils.norms import StandardizedSubtractMeanPatchNorm
+
+    shape = (H, W)
+    with config.force_pallas("interpret"):
+        assert GMMPatchPrior(gmm=gmm, stride=4)._fused_ok(shape)
+        assert not GMMPatchPrior(gmm=gmm, stride=4,
+                                 marginalize=True)._fused_ok(shape)
+        assert not GMMPatchPrior(gmm=gmm, stride=4,
+                                 jitter=True)._fused_ok(shape)
+        assert not GMMPatchPrior(gmm=gmm, stride=4,
+                                 patch_fraction=0.25)._fused_ok(shape)
+        assert not GMMPatchPrior(
+            gmm=gmm, stride=4,
+            patch_norm=StandardizedSubtractMeanPatchNorm(),
+        )._fused_ok(shape)
+        assert not GMMPatchPrior(gmm=gmm, stride=4)._fused_ok((64, 64))
+    with config.force_pallas("off"):
+        assert not GMMPatchPrior(gmm=gmm, stride=4)._fused_ok(shape)
+
+
+def test_fused_jvp_raises_and_hessian_falls_back(gmm, flux_image):
+    """The fused path cannot be forward-over-reverse differentiated
+    (custom_vjp TypeError, or NotImplementedError from JVP-ing the
+    residualised forward kernel); TotalLoss.hessian_diagonals falls
+    back to the patch-level kernels and matches them."""
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.data import point_source_gauss_psf
+    from jolideco_tpu.loss import PoissonLoss, PriorLoss, TotalLoss
+
+    prior = GMMPatchPrior(gmm=gmm, stride=P, cycle_spin=False)
+    flux = jnp.asarray(flux_image)
+    key = jax.random.PRNGKey(2)
+
+    with config.force_pallas("interpret"):
+        def f(x):
+            return prior(x, key=key)
+
+        with pytest.raises((TypeError, NotImplementedError)):
+            jax.jvp(jax.grad(f), (flux,), (jnp.ones_like(flux),))
+
+        rs = np.random.RandomState(3)
+        datasets = {"obs": point_source_gauss_psf(shape=(H, W),
+                                                  random_state=rs)}
+        components = FluxComponents()
+        components["flux"] = SpatialFluxComponent.from_numpy(
+            flux=np.asarray(flux_image, np.float64), prior=prior,
+        )
+        total = TotalLoss(
+            poisson_loss=PoissonLoss.from_datasets(
+                datasets=datasets, components=components
+            ),
+            prior_loss=PriorLoss(priors=components.priors),
+        )
+        fluxes = components.to_flux_tuple()
+        hvp_fallback = total.hessian_diagonals(fluxes, key=key)
+        with config.force_fused("off"):
+            hvp_direct = total.hessian_diagonals(fluxes, key=key)
+
+    for hf, hd in zip(hvp_fallback, hvp_direct):
+        hf, hd = np.asarray(hf), np.asarray(hd)
+        scale = np.abs(hd).max()
+        assert_allclose(hf / scale, hd / scale, atol=2e-4)
