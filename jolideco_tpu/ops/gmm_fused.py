@@ -37,6 +37,16 @@ scoring):
   layout, and the only full-size HBM intermediate is the
   feature-major ``(64, N)`` normalised-patch tensor saved for the
   backward (a straight store, no relayout).
+- Each grid step processes ``R`` image strips at once (``R`` the
+  largest of 8/4/2/1 dividing the strip count): the per-step
+  overhead (~2 µs) amortises over ``R·128`` patches, the permutation
+  matmul covers all ``R·p = 64`` sublanes of the MXU in one pass,
+  and the scorer matmuls run at ``R·128`` lanes. The ``uT`` outer
+  product is streamed in ``ab``-row a-panels so its VMEM footprint
+  stays ≤ 2 MB regardless of ``R``. Outputs leave the kernel in
+  strip-tile order and are transposed back to the public group-major
+  patch order outside the ``custom_vjp`` (XLA maps the cotangent
+  through the transpose automatically).
 
 Differentiation is ``jax.custom_vjp`` (a Pallas backward cannot be
 expressed as a transposable JVP). Forward-over-reverse probes
@@ -136,6 +146,40 @@ def _grid_mask_np(h, w, stride):
     return np.concatenate(rows, axis=0).astype(np.float32)
 
 
+@lru_cache(maxsize=16)
+def _fused_mask_np(h, w, stride, r_strips):
+    """`_grid_mask_np` rearranged to the kernel's strip-tile order.
+
+    Kernel row ``(group, tile, chunk)`` holds lanes ``(r, j)`` with
+    ``r`` the strip within the tile — i.e. strip ``tile·R + r`` of the
+    strip-major grid mask.
+    """
+    m = _grid_mask_np(h, w, stride)
+    ny, wc = h // _PATCH, w // CHUNK
+    g = m.shape[0] // (ny * wc)
+    m = m.reshape(g, ny // r_strips, r_strips, wc, _NXC)
+    m = m.transpose(0, 1, 3, 2, 4)
+    return np.ascontiguousarray(
+        m.reshape(g * (ny // r_strips) * wc, 1, r_strips * _NXC)
+    )
+
+
+def _strips_per_tile(ny):
+    """Largest supported strip batch dividing the strip count."""
+    return next(r for r in (8, 4, 2, 1) if ny % r == 0)
+
+
+def _panel_rows(nl):
+    """a-panel row count for the streamed ``uT`` outer product.
+
+    Full (one-shot, matching the un-batched kernel exactly) at
+    ``R = 1``; otherwise sized so one f32 panel is ~1 MB of VMEM.
+    """
+    if nl == _NXC:
+        return _D
+    return max(1, (1 << 20) // (_D * nl * 4))
+
+
 def _split3(a):
     """Three-way bf16 split: hi + mid + lo reconstructs f32 exactly."""
     hi = a.astype(jnp.bfloat16)
@@ -155,18 +199,27 @@ def _permute_exact(strip, s_ref):
     )
 
 
-def _outer_cols(xt):
-    """``uT[(a,b), j] = xT[a, j] · xT[b, j]`` — ``(d², NXC)``."""
-    xa = jnp.concatenate(
-        [lax.broadcast_in_dim(xt[a:a + 1, :], (_D, _NXC), (0, 1))
-         for a in range(_D)],
-        axis=0,
+def _deinterleave(y, r_strips):
+    """Permuted strips ``(R·p, CHUNK)`` → feature-major ``(d, R·NXC)``.
+
+    Column ``r·NXC + j`` is patch ``j`` of strip ``r`` (strip-tile
+    lane order; the public group-major order is restored outside the
+    kernel by a transpose).
+    """
+    if r_strips == 1:
+        return y.reshape(_PATCH, _PATCH, _NXC).reshape(_D, _NXC)
+    return jnp.concatenate(
+        [
+            lax.slice(y, (r * _PATCH, 0), ((r + 1) * _PATCH, CHUNK))
+            .reshape(_PATCH, _PATCH, _NXC).reshape(_D, _NXC)
+            for r in range(r_strips)
+        ],
+        axis=1,
     )
-    xb = pltpu.repeat(xt, _D, axis=0)
-    return xa * xb
 
 
-def _fwd_kernel(img_ref, mask_ref, s_ref, *refs, mode, sentinel):
+def _fwd_kernel(img_ref, mask_ref, s_ref, *refs, mode, sentinel,
+                r_strips):
     if mode == "split3":
         aqt_hi_ref, aqt_lo_ref, bqt_ref, c2t_ref, \
             values_ref, argmax_ref, valid_ref, xtn_ref = refs
@@ -174,35 +227,52 @@ def _fwd_kernel(img_ref, mask_ref, s_ref, *refs, mode, sentinel):
         aqt_ref, bqt_ref, c2t_ref, \
             values_ref, argmax_ref, valid_ref, xtn_ref = refs
 
-    strip = img_ref[0, 0]                       # (p, CHUNK)
-    y = _permute_exact(strip, s_ref)            # (p, CHUNK) reordered
-    xt = y.reshape(_PATCH, _PATCH, _NXC).reshape(_D, _NXC)
+    nl = r_strips * _NXC
+    strips = img_ref[0, 0].reshape(r_strips * _PATCH, CHUNK)
+    y = _permute_exact(strips, s_ref)           # one MXU pass, all strips
+    xt = _deinterleave(y, r_strips)             # (d, nl)
 
     sentinel_ok = jnp.all(xt > sentinel, axis=0, keepdims=True)
-    valid = jnp.where(sentinel_ok, mask_ref[0], 0.0)    # (1, NXC) f32
+    valid = jnp.where(sentinel_ok, mask_ref[0], 0.0)    # (1, nl) f32
     xt = xt * valid
     mean = jnp.mean(xt, axis=0, keepdims=True)
     xtn = xt - mean
     xtn_ref[:] = xtn
     valid_ref[0] = valid
 
-    ut = _outer_cols(xtn)                       # (d², NXC)
-    if mode == "split3":
-        ut_hi = ut.astype(jnp.bfloat16)
-        ut_lo = (ut - ut_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        qt = (
-            jnp.dot(aqt_hi_ref[:], ut_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(aqt_hi_ref[:], ut_lo, preferred_element_type=jnp.float32)
-            + jnp.dot(aqt_lo_ref[:], ut_hi, preferred_element_type=jnp.float32)
+    k_pad = refs[0].shape[0]
+    ab = _panel_rows(nl)
+    qt = jnp.zeros((k_pad, nl), jnp.float32)
+    for a0 in range(0, _D, ab):
+        # uT panel: rows (a - a0)·d + b = xtn[a]·xtn[b], a in [a0, a0+ab)
+        xa = jnp.concatenate(
+            [lax.broadcast_in_dim(xtn[a:a + 1, :], (_D, nl), (0, 1))
+             for a in range(a0, a0 + ab)],
+            axis=0,
         )
-    else:
-        prec = (lax.Precision.HIGHEST if mode == "highest"
-                else lax.Precision.DEFAULT)
-        qt = jnp.dot(aqt_ref[:], ut, preferred_element_type=jnp.float32,
-                     precision=prec)
+        ut = xa * pltpu.repeat(xtn, ab, axis=0)
+        sl = slice(a0 * _D, (a0 + ab) * _D)
+        if mode == "split3":
+            ut_hi = ut.astype(jnp.bfloat16)
+            ut_lo = (ut - ut_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            qt = (
+                qt
+                + jnp.dot(aqt_hi_ref[:, sl], ut_hi,
+                          preferred_element_type=jnp.float32)
+                + jnp.dot(aqt_hi_ref[:, sl], ut_lo,
+                          preferred_element_type=jnp.float32)
+                + jnp.dot(aqt_lo_ref[:, sl], ut_hi,
+                          preferred_element_type=jnp.float32)
+            )
+        else:
+            prec = (lax.Precision.HIGHEST if mode == "highest"
+                    else lax.Precision.DEFAULT)
+            qt = qt + jnp.dot(aqt_ref[:, sl], ut,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
     xb = jnp.dot(bqt_ref[:], xtn, preferred_element_type=jnp.float32,
                  precision=lax.Precision.HIGHEST)
-    logits = -0.5 * qt + xb + c2t_ref[:]        # (K_pad, NXC)
+    logits = -0.5 * qt + xb + c2t_ref[:]        # (K_pad, nl)
 
     best = jnp.max(logits, axis=0, keepdims=True)
     sub = lax.broadcasted_iota(jnp.int32, logits.shape, 0)
@@ -214,20 +284,29 @@ def _fwd_kernel(img_ref, mask_ref, s_ref, *refs, mode, sentinel):
 
 
 def _bwd_kernel(xtn_ref, argmax_ref, valid_ref, dval_ref, st_ref,
-                aq_hi_ref, aq_lo_ref, bq_ref, dimg_ref):
-    xtn = xtn_ref[:]                            # (d, NXC)
+                aq_hi_ref, aq_lo_ref, bq_ref, dimg_ref, *, r_strips):
+    xtn = xtn_ref[:]                            # (d, nl)
+    nl = r_strips * _NXC
     k_pad = aq_hi_ref.shape[1]
-    sub = lax.broadcasted_iota(jnp.int32, (k_pad, _NXC), 0)
+    sub = lax.broadcasted_iota(jnp.int32, (k_pad, nl), 0)
     onehot = (sub == argmax_ref[0]).astype(jnp.bfloat16)
 
     # A_{k*} column selection on the MXU: one-hot products copy the
-    # bf16 hi/lo split exactly, f32 accumulate reconstructs f32 A
-    arowt = (
-        jnp.dot(aq_hi_ref[:], onehot, preferred_element_type=jnp.float32)
-        + jnp.dot(aq_lo_ref[:], onehot, preferred_element_type=jnp.float32)
-    )                                           # (d², NXC)
-    ar3 = arowt.reshape(_D, _D, _NXC)           # (a, b, j)
-    xa = jnp.sum(ar3 * xtn[None, :, :], axis=1)  # (d, NXC)
+    # bf16 hi/lo split exactly, f32 accumulate reconstructs f32 A;
+    # streamed in a-panels like the forward's uT
+    ab = _panel_rows(nl)
+    rows = []
+    for a0 in range(0, _D, ab):
+        sl = slice(a0 * _D, (a0 + ab) * _D)
+        panel = (
+            jnp.dot(aq_hi_ref[sl, :], onehot,
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(aq_lo_ref[sl, :], onehot,
+                      preferred_element_type=jnp.float32)
+        )                                       # (ab·d, nl)
+        ar3 = panel.reshape(ab, _D, nl)         # (a, b, j)
+        rows.append(jnp.sum(ar3 * xtn[None, :, :], axis=1))
+    xa = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
 
     bsel = jnp.dot(bq_ref[:], onehot.astype(jnp.float32),
                    preferred_element_type=jnp.float32,
@@ -238,8 +317,19 @@ def _bwd_kernel(xtn_ref, argmax_ref, valid_ref, dval_ref, st_ref,
     dxt = dxtn - jnp.mean(dxtn, axis=0, keepdims=True)
     dxt = dxt * valid_ref[0]
 
-    dy = dxt.reshape(_PATCH, _PATCH, _NXC).reshape(_PATCH, CHUNK)
-    dimg_ref[0, 0] = _permute_exact(dy, st_ref)
+    if r_strips == 1:
+        dy = dxt.reshape(_PATCH, _PATCH, _NXC).reshape(_PATCH, CHUNK)
+    else:
+        dy = jnp.concatenate(
+            [
+                lax.slice(dxt, (0, r * _NXC), (_D, (r + 1) * _NXC))
+                .reshape(_PATCH, _PATCH, _NXC).reshape(_PATCH, CHUNK)
+                for r in range(r_strips)
+            ],
+            axis=0,
+        )                                       # (R·p, CHUNK)
+    out = _permute_exact(dy, st_ref)            # one MXU pass, all strips
+    dimg_ref[0, 0] = out.reshape(r_strips, _PATCH, CHUNK)
 
 
 def _mode(precision):
@@ -263,10 +353,11 @@ def _fused_score(interpret, mode, sentinel, imgs, mask2, buffers):
 
 
 def _fused_forward(interpret, mode, sentinel, imgs, mask2, buffers):
-    g_, ny, p, w = imgs.shape
+    g_, nt, r_strips, p, w = imgs.shape
     wc = w // CHUNK
-    nrows = g_ * ny * wc
-    n = nrows * _NXC
+    nrows = g_ * nt * wc
+    nl = r_strips * _NXC
+    n = nrows * nl
 
     if mode == "split3":
         aq_inputs = (buffers["aqt_hi"], buffers["aqt_lo"])
@@ -276,21 +367,23 @@ def _fused_forward(interpret, mode, sentinel, imgs, mask2, buffers):
     s_mat = buffers["s"]
 
     def row_ix(g, i, c):
-        return ((g * ny + i) * wc + c, 0, 0)
+        return ((g * nt + i) * wc + c, 0, 0)
 
-    # per-row outputs are (nrows, 1, NXC) so the (1, 1, NXC) block
+    # per-row outputs are (nrows, 1, nl) so the (1, 1, nl) block
     # matches the trailing dims exactly (Mosaic block-shape rule)
-    row = pl.BlockSpec((1, 1, _NXC), row_ix, memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, 1, nl), row_ix, memory_space=pltpu.VMEM)
     xtn_spec = pl.BlockSpec(
-        (_D, _NXC), lambda g, i, c: (0, (g * ny + i) * wc + c),
+        (_D, nl), lambda g, i, c: (0, (g * nt + i) * wc + c),
         memory_space=pltpu.VMEM,
     )
 
     values2, argmax2, valid2, xtn = pl.pallas_call(
-        partial(_fwd_kernel, mode=mode, sentinel=sentinel),
-        grid=(g_, ny, wc),
+        partial(_fwd_kernel, mode=mode, sentinel=sentinel,
+                r_strips=r_strips),
+        grid=(g_, nt, wc),
         in_specs=[
-            pl.BlockSpec((1, 1, p, CHUNK), lambda g, i, c: (g, i, 0, c),
+            pl.BlockSpec((1, 1, r_strips, p, CHUNK),
+                         lambda g, i, c: (g, i, 0, 0, c),
                          memory_space=pltpu.VMEM),
             row,
             _full(s_mat),
@@ -300,9 +393,9 @@ def _fused_forward(interpret, mode, sentinel, imgs, mask2, buffers):
         ],
         out_specs=[row, row, row, xtn_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((nrows, 1, _NXC), jnp.float32),
-            jax.ShapeDtypeStruct((nrows, 1, _NXC), jnp.int32),
-            jax.ShapeDtypeStruct((nrows, 1, _NXC), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, 1, nl), jnp.float32),
+            jax.ShapeDtypeStruct((nrows, 1, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nrows, 1, nl), jnp.float32),
             jax.ShapeDtypeStruct((_D, n), jnp.float32),
         ],
         interpret=interpret,
@@ -320,22 +413,23 @@ def _fused_fwd(interpret, mode, sentinel, imgs, mask2, buffers):
 def _fused_bwd(interpret, mode, sentinel, residuals, cotangents):
     (xtn, argmax2, valid2), img_shape, buffers = residuals
     dvalues2, _, _ = cotangents
-    g_, ny, p, w = img_shape
+    g_, nt, r_strips, p, w = img_shape
     wc = w // CHUNK
-    nrows = g_ * ny * wc
+    nrows = g_ * nt * wc
+    nl = r_strips * _NXC
 
     def row_ix(g, i, c):
-        return ((g * ny + i) * wc + c, 0, 0)
+        return ((g * nt + i) * wc + c, 0, 0)
 
-    row = pl.BlockSpec((1, 1, _NXC), row_ix, memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, 1, nl), row_ix, memory_space=pltpu.VMEM)
     xtn_spec = pl.BlockSpec(
-        (_D, _NXC), lambda g, i, c: (0, (g * ny + i) * wc + c),
+        (_D, nl), lambda g, i, c: (0, (g * nt + i) * wc + c),
         memory_space=pltpu.VMEM,
     )
 
     dimgs = pl.pallas_call(
-        _bwd_kernel,
-        grid=(g_, ny, wc),
+        partial(_bwd_kernel, r_strips=r_strips),
+        grid=(g_, nt, wc),
         in_specs=[
             xtn_spec, row, row, row,
             _full(buffers["st"]),
@@ -343,15 +437,15 @@ def _fused_bwd(interpret, mode, sentinel, residuals, cotangents):
             _full(buffers["aq_lo"]),
             _full(buffers["bq"]),
         ],
-        out_specs=pl.BlockSpec((1, 1, p, CHUNK),
-                               lambda g, i, c: (g, i, 0, c),
+        out_specs=pl.BlockSpec((1, 1, r_strips, p, CHUNK),
+                               lambda g, i, c: (g, i, 0, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(img_shape, jnp.float32),
         interpret=interpret,
     )(xtn, argmax2, valid2, dvalues2, buffers["st"], buffers["aq_hi"],
       buffers["aq_lo"], buffers["bq"])
 
-    zeros_mask = jnp.zeros((nrows, 1, _NXC), jnp.float32)
+    zeros_mask = jnp.zeros((nrows, 1, nl), jnp.float32)
     zeros_buffers = jax.tree.map(jnp.zeros_like, buffers)
     return dimgs, zeros_mask, zeros_buffers
 
@@ -400,17 +494,31 @@ def gmm_score_fused_image(normed, patch_shape, stride, packed, sentinel,
         lax.slice(padded, (a, b), (a + h, b + w))
         for a, b in _offsets(stride)
     ]
-    imgs = jnp.stack(groups).reshape(len(groups), h // _PATCH, _PATCH, w)
+    ny, wc = h // _PATCH, w // CHUNK
+    r_strips = _strips_per_tile(ny)
+    nt = ny // r_strips
+    imgs = jnp.stack(groups).reshape(
+        len(groups), nt, r_strips, _PATCH, w
+    )
 
-    mask2 = jnp.asarray(_grid_mask_np(h, w, stride))[:, None, :]
+    mask2 = jnp.asarray(_fused_mask_np(h, w, stride, r_strips))
     buffers = _fused_buffers(packed)
 
     mode = _mode(precision)
     values2, argmax2, valid2 = _fused_score(
         interpret, mode, float(sentinel), imgs, mask2, buffers
     )
+
+    def reorder(x2):
+        """Kernel strip-tile lane order → group-major patch order."""
+        return (
+            x2.reshape(len(groups), nt, wc, r_strips, _NXC)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(-1)
+        )
+
     return (
-        values2.reshape(-1),
-        argmax2.reshape(-1),
-        valid2.reshape(-1) > 0.5,
+        reorder(values2),
+        reorder(argmax2),
+        reorder(valid2) > 0.5,
     )

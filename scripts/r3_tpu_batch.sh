@@ -5,6 +5,9 @@
 set -x
 cd "$(dirname "$0")/.."
 
+timeout 120 python -c "import jax, jax.numpy as jnp; print(jnp.ones((8,8)).sum())" || {
+    echo "TUNNEL WEDGED — aborting batch"; exit 1; }
+
 timeout 900 python bench.py --verbose \
     > /tmp/r3_bench_headline.log 2>&1
 timeout 900 python bench.py --update-strategy sequential --iters 300 \

@@ -98,6 +98,72 @@ def test_fused_matches_manual_enumeration(gmm, image, stride):
     assert np.array_equal(np.asarray(argmax)[m], np.asarray(a_ref)[m])
 
 
+def test_fused_full_strip_tiles_multi_chunk(gmm):
+    """A tall, wide image exercises the batched-strip kernel (R = 8)
+    together with the multi-chunk lane order restore (wc = 2)."""
+    from jolideco_tpu.ops.gmm_fused import _strips_per_tile
+
+    h, w, stride = 64, 2048, 4
+    assert _strips_per_tile(h // P) == 8
+    rs = np.random.RandomState(9)
+    img = rs.uniform(0.1, 2.0, size=(h, w)).astype(np.float32)
+    img[:P, -3 * P:] = 2.0 * ZERO_FLUX_SENTINEL
+
+    x_ref, valid_ref = _manual_enumeration(img, stride)
+    v_ref, a_ref = gmm_score_pallas(
+        jnp.asarray(x_ref), gmm.packed, gmm.means_precisions_cholesky,
+        gmm.precisions_cholesky, gmm.pixel_weights, True,
+        lax.Precision.HIGH, False,
+    )
+    values, argmax, valid = gmm_score_fused_image(
+        jnp.asarray(img), (P, P), stride, gmm.packed,
+        ZERO_FLUX_SENTINEL, interpret=True,
+        precision=lax.Precision.HIGH,
+    )
+    assert values.shape[0] == fused_patch_count(img.shape, stride)
+    assert np.array_equal(np.asarray(valid), valid_ref)
+    m = valid_ref
+    assert_allclose(np.asarray(values)[m], np.asarray(v_ref)[m],
+                    rtol=2e-4, atol=2e-4)
+    assert np.array_equal(np.asarray(argmax)[m], np.asarray(a_ref)[m])
+
+    # reverse mode through the reorder + batched backward kernel
+    def f_fused(x):
+        v, _, vd = gmm_score_fused_image(
+            x, (P, P), stride, gmm.packed, ZERO_FLUX_SENTINEL,
+            interpret=True, precision=lax.Precision.HIGH,
+        )
+        return jnp.sum(jnp.where(vd, v, 0.0))
+
+    g_fused = np.asarray(jax.grad(f_fused)(jnp.asarray(img)))
+    assert np.isfinite(g_fused).all()
+    assert np.abs(g_fused).max() > 0
+
+
+def test_prior_fused_matches_unfused_batched_strips(gmm):
+    """Value + gradient parity of the R = 8 batched-strip kernel
+    against the patch-level pipeline, through the full prior."""
+    rs = np.random.RandomState(10)
+    flux = jnp.asarray(
+        rs.uniform(0.1, 2.0, size=(64, 1024)).astype(np.float32)
+    )
+    prior = GMMPatchPrior(gmm=gmm, stride=STRIDE, cycle_spin=True)
+    key = jax.random.PRNGKey(12)
+
+    with config.force_pallas("interpret"):
+        assert prior._fused_ok(flux.shape)
+        lp_fused = prior(flux, key=key)
+        g_fused = jax.grad(lambda x: prior(x, key=key))(flux)
+        with config.force_fused("off"):
+            lp_ref = prior(flux, key=key)
+            g_ref = jax.grad(lambda x: prior(x, key=key))(flux)
+
+    assert_allclose(float(lp_fused), float(lp_ref), rtol=1e-5)
+    scale = float(jnp.abs(g_ref).max())
+    assert_allclose(np.asarray(g_fused) / scale,
+                    np.asarray(g_ref) / scale, atol=1e-5)
+
+
 @pytest.mark.parametrize("precision", [lax.Precision.DEFAULT,
                                        lax.Precision.HIGHEST])
 def test_fused_precision_modes(gmm, image, precision):
