@@ -29,14 +29,16 @@ scoring):
   ``qT = AqT · uT`` with ``uT[(a,b), j] = xT[a,j] · xT[b,j]`` and a
   sublane max/argmax — same math as ``gmm_pallas._logits_block``,
   feature-major.
-- The backward selects ``A_{k*}`` columns with a one-hot matmul
-  (exact, like ``gmm_pallas._select_contract``), applies the
-  mean-subtraction and validity transposes in-register, and returns
-  to image layout through the inverse permutation matmul — the
-  training step never materialises a patch matrix in row-major
-  layout, and the only full-size HBM intermediate is the
-  feature-major ``(64, N)`` normalised-patch tensor saved for the
-  backward (a straight store, no relayout).
+- The backward mixes ``A_k``/``b_k`` columns with a weight matmul —
+  exact one-hot weights for the MAP max, a softmax over components
+  (recomputed in-kernel from the saved patches and the forward's
+  logsumexp) for the marginalise mode — applies the mean-subtraction
+  and validity transposes in-register, and returns to image layout
+  through the inverse permutation matmul. The training step never
+  materialises a patch matrix in row-major layout, and the only
+  full-size HBM intermediate is the feature-major ``(64, N)``
+  normalised-patch tensor saved for the backward (a straight store,
+  no relayout).
 - Each grid step processes ``R`` image strips at once (``R`` the
   largest of 8/4/2/1 dividing the strip count): the per-step
   overhead (~2 µs) amortises over ``R·128`` patches, the permutation
@@ -218,14 +220,61 @@ def _deinterleave(y, r_strips):
     )
 
 
+def _logits_streamed(xtn, aq_refs, bqt_ref, c2t_ref, mode, nl):
+    """``(K_pad, nl)`` logits from feature-major patches.
+
+    The ``uT`` outer product streams in ``ab``-row a-panels so its VMEM
+    footprint stays bounded at any lane count; shared by the forward
+    and the marginalise backward (which recomputes logits rather than
+    saving the ``(K_pad, n)`` tensor to HBM).
+    """
+    k_pad = aq_refs[0].shape[0]
+    ab = _panel_rows(nl)
+    qt = jnp.zeros((k_pad, nl), jnp.float32)
+    for a0 in range(0, _D, ab):
+        # uT panel: rows (a - a0)·d + b = xtn[a]·xtn[b], a in [a0, a0+ab)
+        xa = jnp.concatenate(
+            [lax.broadcast_in_dim(xtn[a:a + 1, :], (_D, nl), (0, 1))
+             for a in range(a0, a0 + ab)],
+            axis=0,
+        )
+        ut = xa * pltpu.repeat(xtn, ab, axis=0)
+        sl = slice(a0 * _D, (a0 + ab) * _D)
+        if mode == "split3":
+            aqt_hi_ref, aqt_lo_ref = aq_refs
+            ut_hi = ut.astype(jnp.bfloat16)
+            ut_lo = (ut - ut_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            qt = (
+                qt
+                + jnp.dot(aqt_hi_ref[:, sl], ut_hi,
+                          preferred_element_type=jnp.float32)
+                + jnp.dot(aqt_hi_ref[:, sl], ut_lo,
+                          preferred_element_type=jnp.float32)
+                + jnp.dot(aqt_lo_ref[:, sl], ut_hi,
+                          preferred_element_type=jnp.float32)
+            )
+        else:
+            (aqt_ref,) = aq_refs
+            prec = (lax.Precision.HIGHEST if mode == "highest"
+                    else lax.Precision.DEFAULT)
+            qt = qt + jnp.dot(aqt_ref[:, sl], ut,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+    xb = jnp.dot(bqt_ref[:], xtn, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)
+    return -0.5 * qt + xb + c2t_ref[:]          # (K_pad, nl)
+
+
 def _fwd_kernel(img_ref, mask_ref, s_ref, *refs, mode, sentinel,
-                r_strips):
+                r_strips, marginalize):
     if mode == "split3":
         aqt_hi_ref, aqt_lo_ref, bqt_ref, c2t_ref, \
             values_ref, argmax_ref, valid_ref, xtn_ref = refs
+        aq_refs = (aqt_hi_ref, aqt_lo_ref)
     else:
         aqt_ref, bqt_ref, c2t_ref, \
             values_ref, argmax_ref, valid_ref, xtn_ref = refs
+        aq_refs = (aqt_ref,)
 
     nl = r_strips * _NXC
     strips = img_ref[0, 0].reshape(r_strips * _PATCH, CHUNK)
@@ -240,39 +289,7 @@ def _fwd_kernel(img_ref, mask_ref, s_ref, *refs, mode, sentinel,
     xtn_ref[:] = xtn
     valid_ref[0] = valid
 
-    k_pad = refs[0].shape[0]
-    ab = _panel_rows(nl)
-    qt = jnp.zeros((k_pad, nl), jnp.float32)
-    for a0 in range(0, _D, ab):
-        # uT panel: rows (a - a0)·d + b = xtn[a]·xtn[b], a in [a0, a0+ab)
-        xa = jnp.concatenate(
-            [lax.broadcast_in_dim(xtn[a:a + 1, :], (_D, nl), (0, 1))
-             for a in range(a0, a0 + ab)],
-            axis=0,
-        )
-        ut = xa * pltpu.repeat(xtn, ab, axis=0)
-        sl = slice(a0 * _D, (a0 + ab) * _D)
-        if mode == "split3":
-            ut_hi = ut.astype(jnp.bfloat16)
-            ut_lo = (ut - ut_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            qt = (
-                qt
-                + jnp.dot(aqt_hi_ref[:, sl], ut_hi,
-                          preferred_element_type=jnp.float32)
-                + jnp.dot(aqt_hi_ref[:, sl], ut_lo,
-                          preferred_element_type=jnp.float32)
-                + jnp.dot(aqt_lo_ref[:, sl], ut_hi,
-                          preferred_element_type=jnp.float32)
-            )
-        else:
-            prec = (lax.Precision.HIGHEST if mode == "highest"
-                    else lax.Precision.DEFAULT)
-            qt = qt + jnp.dot(aqt_ref[:, sl], ut,
-                              preferred_element_type=jnp.float32,
-                              precision=prec)
-    xb = jnp.dot(bqt_ref[:], xtn, preferred_element_type=jnp.float32,
-                 precision=lax.Precision.HIGHEST)
-    logits = -0.5 * qt + xb + c2t_ref[:]        # (K_pad, nl)
+    logits = _logits_streamed(xtn, aq_refs, bqt_ref, c2t_ref, mode, nl)
 
     best = jnp.max(logits, axis=0, keepdims=True)
     sub = lax.broadcasted_iota(jnp.int32, logits.shape, 0)
@@ -280,40 +297,52 @@ def _fwd_kernel(img_ref, mask_ref, s_ref, *refs, mode, sentinel,
         jnp.where(logits >= best, sub, logits.shape[0]),
         axis=0, keepdims=True,
     )
-    values_ref[0] = best
+    if marginalize:
+        values_ref[0] = best + jnp.log(
+            jnp.sum(jnp.exp(logits - best), axis=0, keepdims=True)
+        )
+    else:
+        values_ref[0] = best
 
 
-def _bwd_kernel(xtn_ref, argmax_ref, valid_ref, dval_ref, st_ref,
-                aq_hi_ref, aq_lo_ref, bq_ref, dimg_ref, *, r_strips):
-    xtn = xtn_ref[:]                            # (d, nl)
-    nl = r_strips * _NXC
-    k_pad = aq_hi_ref.shape[1]
-    sub = lax.broadcasted_iota(jnp.int32, (k_pad, nl), 0)
-    onehot = (sub == argmax_ref[0]).astype(jnp.bfloat16)
+def _select_contract_t(xtn, w_hi, w_lo, aq_hi_ref, aq_lo_ref, bq_ref,
+                       nl):
+    """``b_w - A_w x`` in the feature-major layout.
 
-    # A_{k*} column selection on the MXU: one-hot products copy the
-    # bf16 hi/lo split exactly, f32 accumulate reconstructs f32 A;
-    # streamed in a-panels like the forward's uT
+    ``A_w = Σ_k w_k A_k``, ``b_w = Σ_k w_k b_k`` with per-patch
+    component weights ``(K_pad, nl)`` given as a bf16 hi/lo pair
+    (``w_lo=None`` for exact one-hot weights). The ``A`` mixture runs
+    on the MXU, streamed in a-panels like the forward's ``uT``.
+    """
     ab = _panel_rows(nl)
     rows = []
     for a0 in range(0, _D, ab):
         sl = slice(a0 * _D, (a0 + ab) * _D)
         panel = (
-            jnp.dot(aq_hi_ref[sl, :], onehot,
+            jnp.dot(aq_hi_ref[sl, :], w_hi,
                     preferred_element_type=jnp.float32)
-            + jnp.dot(aq_lo_ref[sl, :], onehot,
+            + jnp.dot(aq_lo_ref[sl, :], w_hi,
                       preferred_element_type=jnp.float32)
-        )                                       # (ab·d, nl)
+        )
+        if w_lo is not None:
+            panel = panel + jnp.dot(aq_hi_ref[sl, :], w_lo,
+                                    preferred_element_type=jnp.float32)
         ar3 = panel.reshape(ab, _D, nl)         # (a, b, j)
         rows.append(jnp.sum(ar3 * xtn[None, :, :], axis=1))
     xa = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
 
-    bsel = jnp.dot(bq_ref[:], onehot.astype(jnp.float32),
+    bsel = jnp.dot(bq_ref[:], w_hi.astype(jnp.float32),
                    preferred_element_type=jnp.float32,
                    precision=lax.Precision.HIGHEST)
+    if w_lo is not None:
+        bsel = bsel + jnp.dot(bq_ref[:], w_lo.astype(jnp.float32),
+                              preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST)
+    return bsel - xa
 
-    dxtn = (bsel - xa) * dval_ref[0]            # d/d xtn, scaled
-    # transpose of the mean subtraction, then of the validity mask
+
+def _dimg_epilogue(dxtn, valid_ref, st_ref, dimg_ref, r_strips):
+    """Transpose of mean subtraction + mask, then permute to image."""
     dxt = dxtn - jnp.mean(dxtn, axis=0, keepdims=True)
     dxt = dxt * valid_ref[0]
 
@@ -332,6 +361,48 @@ def _bwd_kernel(xtn_ref, argmax_ref, valid_ref, dval_ref, st_ref,
     dimg_ref[0, 0] = out.reshape(r_strips, _PATCH, CHUNK)
 
 
+def _bwd_kernel(xtn_ref, argmax_ref, valid_ref, dval_ref, st_ref,
+                aq_hi_ref, aq_lo_ref, bq_ref, dimg_ref, *, r_strips):
+    xtn = xtn_ref[:]                            # (d, nl)
+    nl = r_strips * _NXC
+    k_pad = aq_hi_ref.shape[1]
+    sub = lax.broadcasted_iota(jnp.int32, (k_pad, nl), 0)
+    # one-hot products copy the bf16 hi/lo split exactly, f32
+    # accumulate reconstructs f32 A_{k*}
+    onehot = (sub == argmax_ref[0]).astype(jnp.bfloat16)
+    unit = _select_contract_t(xtn, onehot, None, aq_hi_ref, aq_lo_ref,
+                              bq_ref, nl)
+    _dimg_epilogue(unit * dval_ref[0], valid_ref, st_ref, dimg_ref,
+                   r_strips)
+
+
+def _bwd_marg_kernel(xtn_ref, values_ref, valid_ref, dval_ref, st_ref,
+                     *refs, mode, r_strips):
+    if mode == "split3":
+        aqt_hi_ref, aqt_lo_ref, bqt_ref, c2t_ref, \
+            aq_hi_ref, aq_lo_ref, bq_ref, dimg_ref = refs
+        aq_refs = (aqt_hi_ref, aqt_lo_ref)
+    else:
+        aqt_ref, bqt_ref, c2t_ref, \
+            aq_hi_ref, aq_lo_ref, bq_ref, dimg_ref = refs
+        aq_refs = (aqt_ref,)
+
+    xtn = xtn_ref[:]                            # (d, nl)
+    nl = r_strips * _NXC
+    # recompute logits (cheaper than a (K_pad, n) HBM round-trip);
+    # softmax against the forward's logsumexp, renormalised to absorb
+    # f32 roundoff between the saved lse and the recomputed logits
+    logits = _logits_streamed(xtn, aq_refs, bqt_ref, c2t_ref, mode, nl)
+    p = jnp.exp(logits - values_ref[0])
+    p = p / jnp.sum(p, axis=0, keepdims=True)
+    p_hi = p.astype(jnp.bfloat16)
+    p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    unit = _select_contract_t(xtn, p_hi, p_lo, aq_hi_ref, aq_lo_ref,
+                              bq_ref, nl)
+    _dimg_epilogue(unit * dval_ref[0], valid_ref, st_ref, dimg_ref,
+                   r_strips)
+
+
 def _mode(precision):
     if precision == lax.Precision.HIGH:
         return "split3"
@@ -345,14 +416,16 @@ def _full(a):
                         memory_space=pltpu.VMEM)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _fused_score(interpret, mode, sentinel, imgs, mask2, buffers):
-    out, _ = _fused_forward(interpret, mode, sentinel, imgs, mask2,
-                            buffers)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_score(interpret, mode, sentinel, marginalize, imgs, mask2,
+                 buffers):
+    out, _ = _fused_forward(interpret, mode, sentinel, marginalize,
+                            imgs, mask2, buffers)
     return out
 
 
-def _fused_forward(interpret, mode, sentinel, imgs, mask2, buffers):
+def _fused_forward(interpret, mode, sentinel, marginalize, imgs, mask2,
+                   buffers):
     g_, nt, r_strips, p, w = imgs.shape
     wc = w // CHUNK
     nrows = g_ * nt * wc
@@ -379,7 +452,7 @@ def _fused_forward(interpret, mode, sentinel, imgs, mask2, buffers):
 
     values2, argmax2, valid2, xtn = pl.pallas_call(
         partial(_fwd_kernel, mode=mode, sentinel=sentinel,
-                r_strips=r_strips),
+                r_strips=r_strips, marginalize=marginalize),
         grid=(g_, nt, wc),
         in_specs=[
             pl.BlockSpec((1, 1, r_strips, p, CHUNK),
@@ -401,17 +474,19 @@ def _fused_forward(interpret, mode, sentinel, imgs, mask2, buffers):
         interpret=interpret,
     )(imgs, mask2, s_mat, *aq_inputs, bqt, c2t)
 
-    return (values2, argmax2, valid2), (xtn, argmax2, valid2)
+    return (values2, argmax2, valid2), (xtn, values2, argmax2, valid2)
 
 
-def _fused_fwd(interpret, mode, sentinel, imgs, mask2, buffers):
-    out, res = _fused_forward(interpret, mode, sentinel, imgs, mask2,
-                              buffers)
+def _fused_fwd(interpret, mode, sentinel, marginalize, imgs, mask2,
+               buffers):
+    out, res = _fused_forward(interpret, mode, sentinel, marginalize,
+                              imgs, mask2, buffers)
     return out, (res, imgs.shape, buffers)
 
 
-def _fused_bwd(interpret, mode, sentinel, residuals, cotangents):
-    (xtn, argmax2, valid2), img_shape, buffers = residuals
+def _fused_bwd(interpret, mode, sentinel, marginalize, residuals,
+               cotangents):
+    (xtn, values2, argmax2, valid2), img_shape, buffers = residuals
     dvalues2, _, _ = cotangents
     g_, nt, r_strips, p, w = img_shape
     wc = w // CHUNK
@@ -426,24 +501,50 @@ def _fused_bwd(interpret, mode, sentinel, residuals, cotangents):
         (_D, nl), lambda g, i, c: (0, (g * nt + i) * wc + c),
         memory_space=pltpu.VMEM,
     )
+    out_spec = pl.BlockSpec((1, 1, r_strips, p, CHUNK),
+                            lambda g, i, c: (g, i, 0, 0, c),
+                            memory_space=pltpu.VMEM)
 
-    dimgs = pl.pallas_call(
-        partial(_bwd_kernel, r_strips=r_strips),
-        grid=(g_, nt, wc),
-        in_specs=[
-            xtn_spec, row, row, row,
-            _full(buffers["st"]),
-            _full(buffers["aq_hi"]),
-            _full(buffers["aq_lo"]),
-            _full(buffers["bq"]),
-        ],
-        out_specs=pl.BlockSpec((1, 1, r_strips, p, CHUNK),
-                               lambda g, i, c: (g, i, 0, 0, c),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(img_shape, jnp.float32),
-        interpret=interpret,
-    )(xtn, argmax2, valid2, dvalues2, buffers["st"], buffers["aq_hi"],
-      buffers["aq_lo"], buffers["bq"])
+    if marginalize:
+        if mode == "split3":
+            aq_inputs = (buffers["aqt_hi"], buffers["aqt_lo"])
+        else:
+            aq_inputs = (buffers["aqt"],)
+        dimgs = pl.pallas_call(
+            partial(_bwd_marg_kernel, mode=mode, r_strips=r_strips),
+            grid=(g_, nt, wc),
+            in_specs=[
+                xtn_spec, row, row, row,
+                _full(buffers["st"]),
+                *[_full(a) for a in aq_inputs],
+                _full(buffers["bqt"]),
+                _full(buffers["const2t"]),
+                _full(buffers["aq_hi"]),
+                _full(buffers["aq_lo"]),
+                _full(buffers["bq"]),
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(img_shape, jnp.float32),
+            interpret=interpret,
+        )(xtn, values2, valid2, dvalues2, buffers["st"], *aq_inputs,
+          buffers["bqt"], buffers["const2t"], buffers["aq_hi"],
+          buffers["aq_lo"], buffers["bq"])
+    else:
+        dimgs = pl.pallas_call(
+            partial(_bwd_kernel, r_strips=r_strips),
+            grid=(g_, nt, wc),
+            in_specs=[
+                xtn_spec, row, row, row,
+                _full(buffers["st"]),
+                _full(buffers["aq_hi"]),
+                _full(buffers["aq_lo"]),
+                _full(buffers["bq"]),
+            ],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(img_shape, jnp.float32),
+            interpret=interpret,
+        )(xtn, argmax2, valid2, dvalues2, buffers["st"],
+          buffers["aq_hi"], buffers["aq_lo"], buffers["bq"])
 
     zeros_mask = jnp.zeros((nrows, 1, nl), jnp.float32)
     zeros_buffers = jax.tree.map(jnp.zeros_like, buffers)
@@ -472,14 +573,19 @@ def _fused_buffers(packed):
 
 def gmm_score_fused_image(normed, patch_shape, stride, packed, sentinel,
                           interpret=False,
-                          precision=lax.Precision.HIGH):
+                          precision=lax.Precision.HIGH,
+                          marginalize=False):
     """Score all overlapping patches of ``normed`` directly.
 
     Fused equivalent of grouped extraction + zero-flux masking +
-    mean-subtraction patch norm + ``gmm_score_pallas`` (MAP mode).
-    Patches are enumerated group-major over ``(p/s)²`` offset groups,
-    each padded to the full ``(h/p, w/p)`` tiling; padded entries come
-    back with ``valid == False``.
+    mean-subtraction patch norm + ``gmm_score_pallas`` (MAP max or
+    marginalise logsumexp over components). Patches are enumerated
+    group-major over ``(p/s)²`` offset groups, each padded to the full
+    ``(h/p, w/p)`` tiling; padded entries come back with
+    ``valid == False``. The marginalise backward recomputes the logits
+    from the saved normalised patches (no ``(K, N)`` HBM round-trip)
+    and softmax-mixes components, like ``gmm_pallas._unit_marg_kernel``
+    but in the fused feature-major layout.
 
     Returns ``(values (N,), argmax (N,), valid bool (N,))`` with
     ``N = fused_patch_count(normed.shape, stride)``.
@@ -506,7 +612,8 @@ def gmm_score_fused_image(normed, patch_shape, stride, packed, sentinel,
 
     mode = _mode(precision)
     values2, argmax2, valid2 = _fused_score(
-        interpret, mode, float(sentinel), imgs, mask2, buffers
+        interpret, mode, float(sentinel), bool(marginalize), imgs,
+        mask2, buffers
     )
 
     def reorder(x2):

@@ -168,7 +168,6 @@ class GMMPatchPrior(Prior):
             fused_enabled()
             and not self.jitter
             and self.patch_fraction >= 1.0
-            and not self.marginalize
             and self._grouped_ok
             and type(self.patch_norm) is SubtractMeanPatchNorm
             and self.gmm.packed is not None
@@ -218,6 +217,7 @@ class GMMPatchPrior(Prior):
                 normed, self.patch_shape, self.stride, self.gmm.packed,
                 ZERO_FLUX_SENTINEL, interpret=interpret,
                 precision=gmm_precision(),
+                marginalize=self.marginalize,
             )
             return values, argmax, valid, None, shifts, 1.0
 

@@ -164,6 +164,52 @@ def test_prior_fused_matches_unfused_batched_strips(gmm):
                     np.asarray(g_ref) / scale, atol=1e-5)
 
 
+@pytest.mark.parametrize("precision", [lax.Precision.HIGH,
+                                       lax.Precision.HIGHEST])
+def test_fused_marginalise_matches_manual(gmm, image, precision):
+    """Marginalise (logsumexp) fused values vs the patch-level kernel
+    on the same enumeration, both precisions."""
+    x_ref, valid_ref = _manual_enumeration(image, STRIDE)
+    v_ref, _ = gmm_score_pallas(
+        jnp.asarray(x_ref), gmm.packed, gmm.means_precisions_cholesky,
+        gmm.precisions_cholesky, gmm.pixel_weights, True,
+        precision, True,
+    )
+    values, _, valid = gmm_score_fused_image(
+        jnp.asarray(image), (P, P), STRIDE, gmm.packed,
+        ZERO_FLUX_SENTINEL, interpret=True, precision=precision,
+        marginalize=True,
+    )
+    assert np.array_equal(np.asarray(valid), valid_ref)
+    m = valid_ref
+    assert_allclose(np.asarray(values)[m], np.asarray(v_ref)[m],
+                    rtol=3e-4, atol=3e-4)
+
+
+def test_prior_fused_marginalise_matches_unfused(gmm, flux_image):
+    """Value + gradient parity of the fused marginalise path (softmax
+    backward with in-kernel logits recompute) against the patch-level
+    pipeline, through the full prior."""
+    flux = jnp.asarray(flux_image)
+    prior = GMMPatchPrior(gmm=gmm, stride=STRIDE, cycle_spin=True,
+                          marginalize=True)
+    key = jax.random.PRNGKey(21)
+
+    with config.force_pallas("interpret"):
+        assert prior.marginalize
+        assert prior._fused_ok(flux.shape)
+        lp_fused = prior(flux, key=key)
+        g_fused = jax.grad(lambda x: prior(x, key=key))(flux)
+        with config.force_fused("off"):
+            lp_ref = prior(flux, key=key)
+            g_ref = jax.grad(lambda x: prior(x, key=key))(flux)
+
+    assert_allclose(float(lp_fused), float(lp_ref), rtol=1e-5)
+    scale = float(jnp.abs(g_ref).max())
+    assert_allclose(np.asarray(g_fused) / scale,
+                    np.asarray(g_ref) / scale, atol=2e-5)
+
+
 @pytest.mark.parametrize("precision", [lax.Precision.DEFAULT,
                                        lax.Precision.HIGHEST])
 def test_fused_precision_modes(gmm, image, precision):
@@ -246,15 +292,15 @@ def test_prior_call_fused_matches_unfused(gmm, flux_image):
 
 
 def test_prior_fused_gating(gmm):
-    """Marginalise, non-mean patch norms, jitter and subsampling all
-    keep the patch-level path."""
+    """Non-mean patch norms, jitter and subsampling all keep the
+    patch-level path; marginalise goes fused."""
     from jolideco_tpu.utils.norms import StandardizedSubtractMeanPatchNorm
 
     shape = (H, W)
     with config.force_pallas("interpret"):
         assert GMMPatchPrior(gmm=gmm, stride=4)._fused_ok(shape)
-        assert not GMMPatchPrior(gmm=gmm, stride=4,
-                                 marginalize=True)._fused_ok(shape)
+        assert GMMPatchPrior(gmm=gmm, stride=4,
+                             marginalize=True)._fused_ok(shape)
         assert not GMMPatchPrior(gmm=gmm, stride=4,
                                  jitter=True)._fused_ok(shape)
         assert not GMMPatchPrior(gmm=gmm, stride=4,

@@ -167,6 +167,34 @@ def test_fused_scorer_compiled_matches_patch_pipeline(gmm):
 
 
 @requires_device("tpu")
+def test_fused_marginalise_compiled_matches_patch_pipeline(gmm):
+    """Compiled fused marginalise path (logsumexp forward + softmax
+    backward with in-kernel logits recompute) vs the patch pipeline."""
+    from jolideco_tpu import config
+    from jolideco_tpu.priors import GMMPatchPrior
+
+    rs = np.random.RandomState(4)
+    flux = jnp.asarray(rs.uniform(0.1, 2.0, size=(64, 1024)),
+                       jnp.float32)
+    prior = GMMPatchPrior(gmm=gmm, stride=4, cycle_spin=True,
+                          marginalize=True)
+    key = jax.random.PRNGKey(11)
+
+    with config.force_pallas("on"):
+        assert prior._fused_ok(flux.shape)
+        lp_fused = jax.jit(lambda x: prior(x, key=key))(flux)
+        g_fused = jax.jit(jax.grad(lambda x: prior(x, key=key)))(flux)
+        with config.force_fused("off"):
+            lp_ref = jax.jit(lambda x: prior(x, key=key))(flux)
+            g_ref = jax.jit(jax.grad(lambda x: prior(x, key=key)))(flux)
+
+    assert_allclose(float(lp_fused), float(lp_ref), rtol=1e-4)
+    scale = float(jnp.abs(g_ref).max())
+    assert_allclose(np.asarray(g_fused) / scale,
+                    np.asarray(g_ref) / scale, atol=2e-4)
+
+
+@requires_device("tpu")
 def test_e2e_gmm_training_on_tpu():
     """Short end-to-end GMM-prior run, compiled scan on the chip."""
     from jolideco_tpu import (
