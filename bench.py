@@ -218,9 +218,10 @@ def main():
     target_seconds = 60.0
     if args.prior == "gmm":
         k_actual = int(gmm.means.shape[0])
+        reduction = "marginalise" if args.marginalize else "MAP-max"
         prior_desc = (
             f"GMM patch prior [{args.gmm_name}] K={k_actual} "
-            f"stride {args.stride}"
+            f"stride {args.stride} {reduction}"
         )
     else:
         prior_desc = "uniform prior"

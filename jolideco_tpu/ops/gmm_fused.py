@@ -85,9 +85,11 @@ def fused_supported(image_shape, patch_shape, stride, n_features):
     """Whether the fused image-level scorer applies.
 
     Requires 8×8 patches (d = 64), stride dividing the patch edge,
-    and an image whose width is a multiple of the 1024-lane chunk
-    (the scale where extraction cost matters; smaller images use the
-    XLA extraction path).
+    and an image at least one 1024-lane chunk wide (the scale where
+    extraction cost matters; smaller images use the XLA extraction
+    path). Sizes that are not multiples of the chunk/patch grid are
+    zero-padded inside :func:`gmm_score_fused_image`; the padded
+    patches come back ``valid == False``.
     """
     h, w = image_shape[-2:]
     p = patch_shape[0]
@@ -96,11 +98,17 @@ def fused_supported(image_shape, patch_shape, stride, n_features):
         and patch_shape[1] == p
         and n_features == _D
         and p % stride == 0
-        and h % p == 0
         and w >= CHUNK
-        and w % CHUNK == 0
         and h >= p
     )
+
+
+def _padded_dims(h, w):
+    """Grid dims ``(hp, wp)``: height to the patch edge, width to the
+    lane chunk."""
+    hp = -(-h // _PATCH) * _PATCH
+    wp = -(-w // CHUNK) * CHUNK
+    return hp, wp
 
 
 @lru_cache(maxsize=4)
@@ -125,8 +133,9 @@ def _offsets(stride):
 def fused_patch_count(image_shape, stride):
     """Total (padded) patch count of the fused enumeration."""
     h, w = image_shape[-2:]
+    hp, wp = _padded_dims(h, w)
     n_groups = (_PATCH // stride) ** 2
-    return n_groups * (h // _PATCH) * (w // _PATCH)
+    return n_groups * (hp // _PATCH) * (wp // _PATCH)
 
 
 @lru_cache(maxsize=16)
@@ -134,10 +143,12 @@ def _grid_mask_np(h, w, stride):
     """Static real-patch mask in fused order ``(rows, 128)`` f32.
 
     Fused order: group-major, then strip, then lane chunk, then lane.
-    Patch ``(i, j)`` of group ``(a, b)`` is real iff it lies fully
+    The grid is enumerated over the zero-padded ``(hp, wp)`` dims;
+    patch ``(i, j)`` of group ``(a, b)`` is real iff it lies fully
     inside the unpadded image: ``i < (h-a)//p`` and ``j < (w-b)//p``.
     """
-    ny, wc = h // _PATCH, w // CHUNK
+    hp, wp = _padded_dims(h, w)
+    ny, wc = hp // _PATCH, wp // CHUNK
     rows = []
     for a, b in _offsets(stride):
         na, nb = (h - a) // _PATCH, (w - b) // _PATCH
@@ -157,7 +168,8 @@ def _fused_mask_np(h, w, stride, r_strips):
     strip-major grid mask.
     """
     m = _grid_mask_np(h, w, stride)
-    ny, wc = h // _PATCH, w // CHUNK
+    hp, wp = _padded_dims(h, w)
+    ny, wc = hp // _PATCH, wp // CHUNK
     g = m.shape[0] // (ny * wc)
     m = m.reshape(g, ny // r_strips, r_strips, wc, _NXC)
     m = m.transpose(0, 1, 3, 2, 4)
@@ -594,17 +606,18 @@ def gmm_score_fused_image(normed, patch_shape, stride, packed, sentinel,
     if not fused_supported(normed.shape, patch_shape, stride, _D):
         raise ValueError("fused scorer does not support this shape")
 
+    hp, wp = _padded_dims(h, w)
     img = normed.reshape(h, w)
-    padded = jnp.pad(img, ((0, _PATCH), (0, _PATCH)))
+    padded = jnp.pad(img, ((0, hp - h + _PATCH), (0, wp - w + _PATCH)))
     groups = [
-        lax.slice(padded, (a, b), (a + h, b + w))
+        lax.slice(padded, (a, b), (a + hp, b + wp))
         for a, b in _offsets(stride)
     ]
-    ny, wc = h // _PATCH, w // CHUNK
+    ny, wc = hp // _PATCH, wp // CHUNK
     r_strips = _strips_per_tile(ny)
     nt = ny // r_strips
     imgs = jnp.stack(groups).reshape(
-        len(groups), nt, r_strips, _PATCH, w
+        len(groups), nt, r_strips, _PATCH, wp
     )
 
     mask2 = jnp.asarray(_fused_mask_np(h, w, stride, r_strips))

@@ -50,14 +50,17 @@ def flux_image():
 
 def _manual_enumeration(img, stride):
     """Patches in the fused order: group-major over padded tilings."""
-    pad = np.pad(img, ((0, P), (0, P)))
+    from jolideco_tpu.ops.gmm_fused import _padded_dims
+
     h, w = img.shape
+    hp, wp = _padded_dims(h, w)
+    pad = np.pad(img, ((0, hp - h + P), (0, wp - w + P)))
     rows, valids = [], []
     for a in range(0, P, stride):
         for b in range(0, P, stride):
             na, nb = (h - a) // P, (w - b) // P
-            for i in range(h // P):
-                for j in range(w // P):
+            for i in range(hp // P):
+                for j in range(wp // P):
                     patch = pad[a + P * i:a + P * i + P,
                                 b + P * j:b + P * j + P].reshape(-1)
                     real = (i < na) and (j < nb)
@@ -71,10 +74,75 @@ def _manual_enumeration(img, stride):
 def test_supported_gating():
     assert fused_supported((H, W), (P, P), 4, 64)
     assert fused_supported((2048, 2048), (P, P), 2, 64)
+    assert fused_supported((H, W + 8), (P, P), 4, 64)  # padded width
+    assert fused_supported((H + 3, W), (P, P), 4, 64)  # padded height
     assert not fused_supported((64, 64), (P, P), 4, 64)  # narrow image
-    assert not fused_supported((H, W + 8), (P, P), 4, 64)  # w % 1024
     assert not fused_supported((H, W), (16, 16), 4, 256)  # 16x16 GMM
     assert not fused_supported((H, W), (P, P), 3, 64)  # stride ∤ patch
+
+
+def test_fused_padded_odd_shape_matches_manual(gmm):
+    """A 20 x 1100 image (height ∤ 8, width ∤ 1024) zero-pads to the
+    24 x 2048 grid; padded patches come back invalid and values/grads
+    match the patch-level pipeline on the real patches."""
+    rs = np.random.RandomState(11)
+    img = rs.uniform(0.1, 2.0, size=(20, 1100)).astype(np.float32)
+    img[:P, :P] = 2.0 * ZERO_FLUX_SENTINEL
+
+    x_ref, valid_ref = _manual_enumeration(img, STRIDE)
+    v_ref, a_ref = gmm_score_pallas(
+        jnp.asarray(x_ref), gmm.packed, gmm.means_precisions_cholesky,
+        gmm.precisions_cholesky, gmm.pixel_weights, True,
+        lax.Precision.HIGH, False,
+    )
+    values, argmax, valid = gmm_score_fused_image(
+        jnp.asarray(img), (P, P), STRIDE, gmm.packed,
+        ZERO_FLUX_SENTINEL, interpret=True,
+        precision=lax.Precision.HIGH,
+    )
+    assert values.shape[0] == fused_patch_count(img.shape, STRIDE)
+    assert np.array_equal(np.asarray(valid), valid_ref)
+    m = valid_ref
+    assert_allclose(np.asarray(values)[m], np.asarray(v_ref)[m],
+                    rtol=2e-4, atol=2e-4)
+    assert np.array_equal(np.asarray(argmax)[m], np.asarray(a_ref)[m])
+
+    # gradient flows only into the real image region
+    def f(x):
+        v, _, vd = gmm_score_fused_image(
+            x, (P, P), STRIDE, gmm.packed, ZERO_FLUX_SENTINEL,
+            interpret=True, precision=lax.Precision.HIGH,
+        )
+        return jnp.sum(jnp.where(vd, v, 0.0))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(img)))
+    assert g.shape == img.shape
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+
+def test_prior_fused_odd_shape_matches_unfused(gmm):
+    """Prior value + gradient parity at a non-multiple shape (the
+    fused path zero-pads; the patch pipeline enumerates exactly)."""
+    rs = np.random.RandomState(12)
+    flux = jnp.asarray(
+        rs.uniform(0.1, 2.0, size=(44, 1100)).astype(np.float32)
+    )
+    prior = GMMPatchPrior(gmm=gmm, stride=STRIDE, cycle_spin=True)
+    key = jax.random.PRNGKey(13)
+
+    with config.force_pallas("interpret"):
+        assert prior._fused_ok(flux.shape)
+        lp_fused = prior(flux, key=key)
+        g_fused = jax.grad(lambda x: prior(x, key=key))(flux)
+        with config.force_fused("off"):
+            lp_ref = prior(flux, key=key)
+            g_ref = jax.grad(lambda x: prior(x, key=key))(flux)
+
+    assert_allclose(float(lp_fused), float(lp_ref), rtol=1e-5)
+    scale = float(jnp.abs(g_ref).max())
+    assert_allclose(np.asarray(g_fused) / scale,
+                    np.asarray(g_ref) / scale, atol=1e-5)
 
 
 @pytest.mark.parametrize("stride", [4, 8])
@@ -356,3 +424,43 @@ def test_fused_jvp_raises_and_hessian_falls_back(gmm, flux_image):
         hf, hd = np.asarray(hf), np.asarray(hd)
         scale = np.abs(hd).max()
         assert_allclose(hf / scale, hd / scale, atol=2e-4)
+
+
+def test_fused_marginalise_hessian_falls_back_to_scan(gmm, flux_image):
+    """Marginalise + fused needs TWO fallback hops: custom_vjp
+    TypeError (fused) then NotImplementedError (patch-kernel marg JVP)
+    before landing on the differentiable XLA scan scorer."""
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.data import point_source_gauss_psf
+    from jolideco_tpu.loss import PoissonLoss, PriorLoss, TotalLoss
+
+    prior = GMMPatchPrior(gmm=gmm, stride=P, cycle_spin=False,
+                          marginalize=True)
+    key = jax.random.PRNGKey(5)
+    rs = np.random.RandomState(6)
+    datasets = {"obs": point_source_gauss_psf(shape=(H, W),
+                                              random_state=rs)}
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=np.asarray(flux_image, np.float64), prior=prior,
+    )
+    total = TotalLoss(
+        poisson_loss=PoissonLoss.from_datasets(
+            datasets=datasets, components=components
+        ),
+        prior_loss=PriorLoss(priors=components.priors),
+    )
+    fluxes = components.to_flux_tuple()
+
+    with config.force_pallas("interpret"):
+        assert prior._fused_ok(
+            jnp.asarray(flux_image).shape
+        )
+        hvp_fallback = total.hessian_diagonals(fluxes, key=key)
+        with config.force_pallas("off"):
+            hvp_scan = total.hessian_diagonals(fluxes, key=key)
+
+    for hf, hs in zip(hvp_fallback, hvp_scan):
+        hf, hs = np.asarray(hf), np.asarray(hs)
+        scale = np.abs(hs).max()
+        assert_allclose(hf / scale, hs / scale, atol=2e-4)
