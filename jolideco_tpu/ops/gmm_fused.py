@@ -49,6 +49,16 @@ scoring):
   strip-tile order and are transposed back to the public group-major
   patch order outside the ``custom_vjp`` (XLA maps the cotangent
   through the transpose automatically).
+- Images narrower than one 1024-lane chunk (multiscale levels,
+  upsampled small fields) are *strip-folded*: the width pads to a
+  chunk divisor ``wp ∈ {128, 256, 512}`` and ``fold = 1024/wp``
+  consecutive 8-row strips are laid side-by-side into one virtual
+  1024-lane strip. Patch grids align at multiples of ``wp`` so no
+  patch straddles a seam, and the flattened (strip, patch) order is
+  preserved — ``t = (i mod fold)·(wp/8) + j`` flattens to
+  ``i·(wp/8) + j`` — so masks and the output reorder stay plain
+  reshapes and the kernel itself never sees a narrow chunk (Mosaic
+  rejects sub-128-lane shape casts).
 
 Differentiation is ``jax.custom_vjp`` (a Pallas backward cannot be
 expressed as a transposable JVP). Forward-over-reverse probes
@@ -81,15 +91,22 @@ _D = _PATCH * _PATCH
 _NXC = CHUNK // _PATCH  # 128 patches per chunk
 
 
+# narrowest image the fused path accepts: folded widths pad to the
+# next chunk divisor, so below 128 px the lane waste outgrows the
+# extraction saving and the XLA patch path is used instead
+_MIN_W = 128
+
+
 def fused_supported(image_shape, patch_shape, stride, n_features):
     """Whether the fused image-level scorer applies.
 
     Requires 8×8 patches (d = 64), stride dividing the patch edge,
-    and an image at least one 1024-lane chunk wide (the scale where
-    extraction cost matters; smaller images use the XLA extraction
-    path). Sizes that are not multiples of the chunk/patch grid are
-    zero-padded inside :func:`gmm_score_fused_image`; the padded
-    patches come back ``valid == False``.
+    and an image at least 128 px wide (narrower images use the XLA
+    extraction path; widths below one 1024-lane chunk are strip-folded
+    — see the module docstring). Sizes that are not multiples of the
+    chunk/patch grid are zero-padded inside
+    :func:`gmm_score_fused_image`; the padded patches come back
+    ``valid == False``.
     """
     h, w = image_shape[-2:]
     p = patch_shape[0]
@@ -98,17 +115,26 @@ def fused_supported(image_shape, patch_shape, stride, n_features):
         and patch_shape[1] == p
         and n_features == _D
         and p % stride == 0
-        and w >= CHUNK
+        and w >= _MIN_W
         and h >= p
     )
 
 
 def _padded_dims(h, w):
-    """Grid dims ``(hp, wp)``: height to the patch edge, width to the
-    lane chunk."""
-    hp = -(-h // _PATCH) * _PATCH
-    wp = -(-w // CHUNK) * CHUNK
-    return hp, wp
+    """Padded grid dims ``(hp, wp, fold)``.
+
+    Width pads to a multiple of the 1024-lane chunk, or — below one
+    chunk — to the next chunk divisor ``wp ∈ {128, 256, 512}`` with
+    ``fold = CHUNK/wp`` strips folded side-by-side per virtual strip.
+    Height pads to ``fold`` whole 8-row strips.
+    """
+    if w >= CHUNK:
+        wp, fold = -(-w // CHUNK) * CHUNK, 1
+    else:
+        wp = next(c for c in (128, 256, 512, CHUNK) if c >= w)
+        fold = CHUNK // wp
+    hp = -(-h // (_PATCH * fold)) * (_PATCH * fold)
+    return hp, wp, fold
 
 
 @lru_cache(maxsize=4)
@@ -133,7 +159,7 @@ def _offsets(stride):
 def fused_patch_count(image_shape, stride):
     """Total (padded) patch count of the fused enumeration."""
     h, w = image_shape[-2:]
-    hp, wp = _padded_dims(h, w)
+    hp, wp, _ = _padded_dims(h, w)
     n_groups = (_PATCH // stride) ** 2
     return n_groups * (hp // _PATCH) * (wp // _PATCH)
 
@@ -142,20 +168,21 @@ def fused_patch_count(image_shape, stride):
 def _grid_mask_np(h, w, stride):
     """Static real-patch mask in fused order ``(rows, 128)`` f32.
 
-    Fused order: group-major, then strip, then lane chunk, then lane.
-    The grid is enumerated over the zero-padded ``(hp, wp)`` dims;
-    patch ``(i, j)`` of group ``(a, b)`` is real iff it lies fully
-    inside the unpadded image: ``i < (h-a)//p`` and ``j < (w-b)//p``.
+    The grid is enumerated group-major over the zero-padded
+    ``(hp, wp)`` dims; patch ``(i, j)`` of group ``(a, b)`` is real iff
+    it lies fully inside the unpadded image: ``i < (h-a)//p`` and
+    ``j < (w-b)//p``. Strip-folding and chunk-splitting both preserve
+    the flattened ``(strip, patch)`` order, so a plain reshape to
+    128-lane rows matches the kernel layout at any fold and width.
     """
-    hp, wp = _padded_dims(h, w)
-    ny, wc = hp // _PATCH, wp // CHUNK
+    hp, wp, _ = _padded_dims(h, w)
+    ny, nx = hp // _PATCH, wp // _PATCH
     rows = []
     for a, b in _offsets(stride):
         na, nb = (h - a) // _PATCH, (w - b) // _PATCH
-        jvalid = (np.arange(ny * wc * _NXC).reshape(ny, wc * _NXC)
-                  % (wc * _NXC) < nb)
-        ivalid = (np.arange(ny) < na)[:, None]
-        rows.append((jvalid & ivalid).reshape(ny * wc, _NXC))
+        m = ((np.arange(ny) < na)[:, None]
+             & (np.arange(nx) < nb)[None, :])
+        rows.append(m.reshape(-1, _NXC))
     return np.concatenate(rows, axis=0).astype(np.float32)
 
 
@@ -164,17 +191,18 @@ def _fused_mask_np(h, w, stride, r_strips):
     """`_grid_mask_np` rearranged to the kernel's strip-tile order.
 
     Kernel row ``(group, tile, chunk)`` holds lanes ``(r, j)`` with
-    ``r`` the strip within the tile — i.e. strip ``tile·R + r`` of the
-    strip-major grid mask.
+    ``r`` the *virtual* strip within the tile — i.e. virtual strip
+    ``tile·R + r`` of the strip-major grid mask.
     """
     m = _grid_mask_np(h, w, stride)
-    hp, wp = _padded_dims(h, w)
-    ny, wc = hp // _PATCH, wp // CHUNK
-    g = m.shape[0] // (ny * wc)
-    m = m.reshape(g, ny // r_strips, r_strips, wc, _NXC)
+    hp, wp, fold = _padded_dims(h, w)
+    nyv = hp // _PATCH // fold
+    wc = wp * fold // CHUNK
+    g = m.shape[0] // (nyv * wc)
+    m = m.reshape(g, nyv // r_strips, r_strips, wc, _NXC)
     m = m.transpose(0, 1, 3, 2, 4)
     return np.ascontiguousarray(
-        m.reshape(g * (ny // r_strips) * wc, 1, r_strips * _NXC)
+        m.reshape(g * (nyv // r_strips) * wc, 1, r_strips * _NXC)
     )
 
 
@@ -606,19 +634,25 @@ def gmm_score_fused_image(normed, patch_shape, stride, packed, sentinel,
     if not fused_supported(normed.shape, patch_shape, stride, _D):
         raise ValueError("fused scorer does not support this shape")
 
-    hp, wp = _padded_dims(h, w)
+    hp, wp, fold = _padded_dims(h, w)
     img = normed.reshape(h, w)
     padded = jnp.pad(img, ((0, hp - h + _PATCH), (0, wp - w + _PATCH)))
     groups = [
         lax.slice(padded, (a, b), (a + hp, b + wp))
         for a, b in _offsets(stride)
     ]
-    ny, wc = hp // _PATCH, wp // CHUNK
-    r_strips = _strips_per_tile(ny)
-    nt = ny // r_strips
-    imgs = jnp.stack(groups).reshape(
-        len(groups), nt, r_strips, _PATCH, wp
-    )
+    nyv = hp // _PATCH // fold
+    wpv = wp * fold
+    wc = wpv // CHUNK
+    r_strips = _strips_per_tile(nyv)
+    nt = nyv // r_strips
+    imgs = jnp.stack(groups)
+    if fold > 1:
+        # fold consecutive 8-row strips side-by-side into 1024-lane
+        # virtual strips; flattened (strip, patch) order is preserved
+        imgs = (imgs.reshape(len(groups), nyv, fold, _PATCH, wp)
+                .transpose(0, 1, 3, 2, 4))
+    imgs = imgs.reshape(len(groups), nt, r_strips, _PATCH, wpv)
 
     mask2 = jnp.asarray(_fused_mask_np(h, w, stride, r_strips))
     buffers = _fused_buffers(packed)

@@ -53,7 +53,7 @@ def _manual_enumeration(img, stride):
     from jolideco_tpu.ops.gmm_fused import _padded_dims
 
     h, w = img.shape
-    hp, wp = _padded_dims(h, w)
+    hp, wp, _ = _padded_dims(h, w)
     pad = np.pad(img, ((0, hp - h + P), (0, wp - w + P)))
     rows, valids = [], []
     for a in range(0, P, stride):
@@ -76,9 +76,103 @@ def test_supported_gating():
     assert fused_supported((2048, 2048), (P, P), 2, 64)
     assert fused_supported((H, W + 8), (P, P), 4, 64)  # padded width
     assert fused_supported((H + 3, W), (P, P), 4, 64)  # padded height
+    assert fused_supported((512, 512), (P, P), 4, 64)  # fold = 2
+    assert fused_supported((256, 256), (P, P), 4, 64)  # fold = 4
+    assert fused_supported((128, 128), (P, P), 4, 64)  # fold = 8
     assert not fused_supported((64, 64), (P, P), 4, 64)  # narrow image
     assert not fused_supported((H, W), (16, 16), 4, 256)  # 16x16 GMM
     assert not fused_supported((H, W), (P, P), 3, 64)  # stride ∤ patch
+
+
+def test_padded_dims_fold():
+    from jolideco_tpu.ops.gmm_fused import _padded_dims
+
+    assert _padded_dims(16, 1024) == (16, 1024, 1)
+    assert _padded_dims(20, 1100) == (24, 2048, 1)
+    assert _padded_dims(48, 520) == (48, 1024, 1)   # (512, 1024) pads
+    assert _padded_dims(48, 512) == (48, 512, 2)
+    assert _padded_dims(44, 512) == (48, 512, 2)    # height to 2 strips
+    assert _padded_dims(256, 256) == (256, 256, 4)
+    assert _padded_dims(128, 128) == (128, 128, 8)
+    assert _padded_dims(130, 129) == (160, 256, 4)  # height to 4 strips
+    assert _padded_dims(44, 264) == (48, 512, 2)    # w > 256 → 512 pad
+
+
+@pytest.mark.parametrize("shape,fold", [
+    ((48, 512), 2),       # exact fold-2 grid (multiscale level of 1024)
+    ((44, 250), 4),       # odd dims through the fold-4 padding
+    ((128, 128), 8),      # fold-8, single virtual strip per tile row
+])
+def test_fused_strip_fold_matches_manual(gmm, shape, fold):
+    """Strip-folded narrow images (w < 1024) match the patch-level
+    kernel on the real patches, padded entries come back invalid."""
+    from jolideco_tpu.ops.gmm_fused import _padded_dims
+
+    assert _padded_dims(*shape)[2] == fold
+    rs = np.random.RandomState(14 + fold)
+    img = rs.uniform(0.1, 2.0, size=shape).astype(np.float32)
+    img[:P, :P] = 2.0 * ZERO_FLUX_SENTINEL
+
+    x_ref, valid_ref = _manual_enumeration(img, STRIDE)
+    v_ref, a_ref = gmm_score_pallas(
+        jnp.asarray(x_ref), gmm.packed, gmm.means_precisions_cholesky,
+        gmm.precisions_cholesky, gmm.pixel_weights, True,
+        lax.Precision.HIGH, False,
+    )
+    values, argmax, valid = gmm_score_fused_image(
+        jnp.asarray(img), (P, P), STRIDE, gmm.packed,
+        ZERO_FLUX_SENTINEL, interpret=True,
+        precision=lax.Precision.HIGH,
+    )
+    assert values.shape[0] == fused_patch_count(img.shape, STRIDE)
+    assert np.array_equal(np.asarray(valid), valid_ref)
+    m = valid_ref
+    assert_allclose(np.asarray(values)[m], np.asarray(v_ref)[m],
+                    rtol=2e-4, atol=2e-4)
+    assert np.array_equal(np.asarray(argmax)[m], np.asarray(a_ref)[m])
+
+    # gradient flows back through the fold relayout into the image
+    def f(x):
+        v, _, vd = gmm_score_fused_image(
+            x, (P, P), STRIDE, gmm.packed, ZERO_FLUX_SENTINEL,
+            interpret=True, precision=lax.Precision.HIGH,
+        )
+        return jnp.sum(jnp.where(vd, v, 0.0))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(img)))
+    assert g.shape == img.shape
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+
+
+def test_multiscale_prior_all_levels_fused(gmm):
+    """All three levels of a MultiScalePrior on a 1024-wide flux
+    dispatch fused (levels 1–2 are 512- and 256-wide, strip-folded)
+    and match the patch path, values and gradients."""
+    from jolideco_tpu.priors import MultiScalePrior
+
+    rs = np.random.RandomState(15)
+    flux = jnp.asarray(
+        rs.uniform(0.1, 2.0, size=(64, 1024)).astype(np.float32)
+    )
+    base = GMMPatchPrior(gmm=gmm, stride=STRIDE, cycle_spin=False)
+    prior = MultiScalePrior(prior=base, n_levels=3, cycle_spin=False)
+    key = jax.random.PRNGKey(16)
+
+    with config.force_pallas("interpret"):
+        assert base._fused_ok((64, 1024))
+        assert base._fused_ok((32, 512))
+        assert base._fused_ok((16, 256))
+        lp_fused = prior(flux, key=key)
+        g_fused = jax.grad(lambda x: prior(x, key=key))(flux)
+        with config.force_fused("off"):
+            lp_ref = prior(flux, key=key)
+            g_ref = jax.grad(lambda x: prior(x, key=key))(flux)
+
+    assert_allclose(float(lp_fused), float(lp_ref), rtol=1e-5)
+    scale = float(jnp.abs(g_ref).max())
+    assert_allclose(np.asarray(g_fused) / scale,
+                    np.asarray(g_ref) / scale, atol=1e-5)
 
 
 def test_fused_padded_odd_shape_matches_manual(gmm):

@@ -167,6 +167,36 @@ def test_fused_scorer_compiled_matches_patch_pipeline(gmm):
 
 
 @requires_device("tpu")
+def test_fused_strip_fold_compiled_matches_patch_pipeline(gmm):
+    """Compiled strip-folded variant (images narrower than one
+    1024-lane chunk fold 2/4 strips side-by-side — multiscale levels,
+    small upsampled fields) vs the patch pipeline, at a fold-2 width
+    and an odd fold-4 width."""
+    from jolideco_tpu import config
+    from jolideco_tpu.priors import GMMPatchPrior
+
+    for seed, shape in ((5, (48, 512)), (6, (44, 250))):
+        rs = np.random.RandomState(seed)
+        flux = jnp.asarray(rs.uniform(0.1, 2.0, size=shape),
+                           jnp.float32)
+        prior = GMMPatchPrior(gmm=gmm, stride=4, cycle_spin=True)
+        key = jax.random.PRNGKey(17)
+
+        with config.force_pallas("on"):
+            assert prior._fused_ok(flux.shape)
+            lp_fused = jax.jit(lambda x: prior(x, key=key))(flux)
+            g_fused = jax.jit(jax.grad(lambda x: prior(x, key=key)))(flux)
+            with config.force_fused("off"):
+                lp_ref = jax.jit(lambda x: prior(x, key=key))(flux)
+                g_ref = jax.jit(jax.grad(lambda x: prior(x, key=key)))(flux)
+
+        assert_allclose(float(lp_fused), float(lp_ref), rtol=1e-4)
+        scale = float(jnp.abs(g_ref).max())
+        assert_allclose(np.asarray(g_fused) / scale,
+                        np.asarray(g_ref) / scale, atol=1e-4)
+
+
+@requires_device("tpu")
 def test_fused_marginalise_compiled_matches_patch_pipeline(gmm):
     """Compiled fused marginalise path (logsumexp forward + softmax
     backward with in-kernel logits recompute) vs the patch pipeline."""
