@@ -110,8 +110,9 @@ def main():
                         help="stochastic patch subsampling (speed dial; "
                              "1.0 = exact)")
     parser.add_argument("--conv-mode", default="fft",
-                        choices=["fft", "direct", "mxu"],
-                        help="PSF convolution implementation")
+                        choices=["fft", "direct", "mxu", "ct"],
+                        help="PSF convolution implementation (ct = "
+                             "packed-pair Cooley-Tukey matmul DFT)")
     parser.add_argument("--no-persistent-cache", action="store_true",
                         help="don't write the XLA compile cache to "
                              "~/.cache/jolideco-tpu-xla")

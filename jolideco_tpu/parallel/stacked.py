@@ -61,6 +61,7 @@ class StackedPoissonLoss:
                  has_calibration=False,
                  weights=None, psf_scales=None, psfs=None, conv_mode="fft",
                  dft_tables=None, mxu_fft_shape=None, pair_kernels=None,
+                 ct_tables=None, ct_fft_shape=None, ct_pair_kernels=None,
                  sharded=False, static_shifts=None, static_log_norms=None):
         self.counts = counts
         self.background = background
@@ -91,6 +92,13 @@ class StackedPoissonLoss:
         self._weights = tuple(weights) if weights is not None else None
         self.psf_scales = tuple(psf_scales) if psf_scales is not None else None
         self.pair_kernels = dict(pair_kernels) if pair_kernels else None
+        self.ct_tables = ct_tables
+        self.ct_fft_shape = (
+            tuple(ct_fft_shape) if ct_fft_shape is not None else None
+        )
+        self.ct_pair_kernels = (
+            dict(ct_pair_kernels) if ct_pair_kernels else None
+        )
         self.sharded = bool(sharded)
         # per-observation calibration values used when a calibration is
         # (partially) frozen and therefore absent from the params pytree
@@ -151,15 +159,17 @@ class StackedPoissonLoss:
         )
 
         exposures, psf_ffts, psfs, pair_kernels = {}, {}, {}, {}
+        ct_pairs = {}
         component_factors = []
         common_fft_shape = fft_shape
         mxu_tables, mxu_shape_common = None, None
+        ct_tables, ct_shape_common = None, None
 
         for name, component in components.items():
             factor = component.upsampling_factor or 1
             component_factors.append(factor)
 
-            if conv_mode == "fft":
+            if conv_mode in ("fft", "ct"):
                 # batched device build: ship only the raw float32
                 # stacks and compute upsampling, origin-centered kernel
                 # FFTs, edge correction and pair packing in ONE jitted
@@ -233,7 +243,9 @@ class StackedPoissonLoss:
                     psfs_common = jnp.concatenate(groups)[inverse]
 
                 n_obs = len(raw_psfs)
-                n_pairs = n_obs // 2 if n_obs >= 2 else 0
+                n_pairs = (
+                    n_obs // 2 if n_obs >= 2 and conv_mode == "fft" else 0
+                )
                 kft, exp_stack, pair_a, pair_b = build_kernel_stack(
                     psfs_common,
                     jnp.asarray(np.stack(raw_exps)[:, None, None]),
@@ -246,6 +258,36 @@ class StackedPoissonLoss:
                 psf_ffts[name] = kft
                 if n_pairs:
                     pair_kernels[name] = (pair_a, pair_b)
+
+                if conv_mode == "ct" and n_obs >= 2:
+                    # packed-pair matmul-DFT spectra in the permuted CT
+                    # basis, built on device at HIGHEST precision
+                    from ..ops.ct_conv import (
+                        ct_build_pair_spectra,
+                        ct_conv_shape,
+                        make_ct_tables,
+                    )
+                    from ..ops.fft import _origin_centered
+
+                    ct_shape = (
+                        ct_conv_shape(min_shape[0]),
+                        ct_conv_shape(min_shape[1]),
+                    )
+                    if ct_shape_common is None:
+                        ct_shape_common = ct_shape
+                        ct_tables = make_ct_tables(ct_shape)
+                    elif ct_shape != ct_shape_common:
+                        raise ValueError(
+                            "conv_mode='ct' needs one common transform "
+                            f"shape across components, got {ct_shape} "
+                            f"vs {ct_shape_common}"
+                        )
+                    embedded = _origin_centered(
+                        psfs_common, ct_shape_common
+                    )
+                    ct_pairs[name] = ct_build_pair_spectra(
+                        embedded, ct_tables
+                    )
                 continue
 
             # mxu/direct modes: build-time preprocessing stays
@@ -390,6 +432,9 @@ class StackedPoissonLoss:
             dft_tables=mxu_tables,
             mxu_fft_shape=mxu_shape_common,
             pair_kernels=pair_kernels or None,
+            ct_tables=ct_tables,
+            ct_fft_shape=ct_shape_common,
+            ct_pair_kernels=ct_pairs or None,
             static_shifts=static_shifts,
             static_log_norms=static_log_norms,
         )
@@ -503,6 +548,9 @@ class StackedPoissonLoss:
         if (
             self.conv_mode == "fft"
             and self.pair_kernels is not None
+        ) or (
+            self.conv_mode == "ct"
+            and self.ct_pair_kernels is not None
         ):
             return self._evaluate_packed_fft(fluxes, calibration_params)
         per_obs = self._per_obs_fn(fluxes)
@@ -510,7 +558,13 @@ class StackedPoissonLoss:
         return jax.vmap(per_obs, in_axes=(0,) * len(args))(*args)
 
     def _evaluate_packed_fft(self, fluxes, calibration_params):
-        """Batched forward with pair-packed FFT convolutions."""
+        """Batched forward with pair-packed convolutions.
+
+        The pair transforms run through XLA's FFT (``conv_mode="fft"``)
+        or the permuted matmul-DFT (``conv_mode="ct"``,
+        ``ops.ct_conv``); an odd tail observation falls back to a
+        single rFFT convolution in either mode.
+        """
         n = self.counts.shape[0]
         n_pairs = n // 2
         fft_shape = self.fft_shape
@@ -536,11 +590,20 @@ class StackedPoissonLoss:
                 x = flux[None]
             x = x * exposure
 
-            pair_a, pair_b = self.pair_kernels[name]
-            y0, y1 = convolve_fft_packed_pair(
-                x[0:2 * n_pairs:2], x[1:2 * n_pairs:2], pair_a, pair_b,
-                fft_shape,
-            )
+            if self.conv_mode == "ct":
+                from ..ops.ct_conv import ct_convolve_pair
+
+                ar, ai, br, bi = self.ct_pair_kernels[name]
+                y0, y1 = ct_convolve_pair(
+                    x[0:2 * n_pairs:2], x[1:2 * n_pairs:2],
+                    ar, ai, br, bi, self.ct_tables, self.ct_fft_shape,
+                )
+            else:
+                pair_a, pair_b = self.pair_kernels[name]
+                y0, y1 = convolve_fft_packed_pair(
+                    x[0:2 * n_pairs:2], x[1:2 * n_pairs:2], pair_a,
+                    pair_b, fft_shape,
+                )
             y = jnp.stack([y0, y1], axis=1).reshape(
                 (2 * n_pairs,) + y0.shape[1:]
             )
@@ -599,14 +662,13 @@ class StackedPoissonLoss:
                 setattr(new, attr, shard_stacked(value, mesh))
         if self.dft_tables is not None:
             new.dft_tables = replicate(self.dft_tables, mesh)
+        if self.ct_tables is not None:
+            new.ct_tables = replicate(self.ct_tables, mesh)
         n_obs = int(self.counts.shape[0])
         d_obs = int(mesh.shape["obs"])
         per_device = n_obs // d_obs if n_obs % d_obs == 0 else 0
-        if (
-            self.pair_kernels is not None
-            and per_device > 0
-            and per_device % 2 == 0
-        ):
+        pairs_local = per_device > 0 and per_device % 2 == 0
+        if self.pair_kernels is not None and pairs_local:
             # adjacent-pair packing stays shard-local: contiguous block
             # sharding gives each device an even observation count, so
             # pairs (2i, 2i+1) never straddle devices and the packed
@@ -620,6 +682,13 @@ class StackedPoissonLoss:
             # pairs would straddle devices (odd per-device count or
             # uneven split); keep one observation per device instead
             new.pair_kernels = None
+        if self.ct_pair_kernels is not None and pairs_local:
+            new.ct_pair_kernels = {
+                name: tuple(shard_stacked(k, mesh) for k in pair)
+                for name, pair in self.ct_pair_kernels.items()
+            }
+        else:
+            new.ct_pair_kernels = None
         new.sharded = True
         return new
 
@@ -628,6 +697,7 @@ register_pytree(
     StackedPoissonLoss,
     children_attrs=("counts", "background", "exposures", "psf_ffts", "psfs",
                     "stirling", "dft_tables", "pair_kernels",
+                    "ct_tables", "ct_pair_kernels",
                     "static_shifts", "static_log_norms"),
     aux_attrs=(
         "names_all",
@@ -635,6 +705,7 @@ register_pytree(
         "component_names",
         "fft_shape",
         "mxu_fft_shape",
+        "ct_fft_shape",
         "has_calibration",
         "conv_mode",
         "_weights",
