@@ -48,6 +48,9 @@ __all__ = [
     "make_ct_tables",
     "ct_kernel_pair",
     "ct_convolve_pair",
+    "ct_convolve_single",
+    "ct_build_pair_spectra",
+    "ct_kernel_spectra",
     "ct_dft2",
     "ct_idft2",
 ]
@@ -269,6 +272,44 @@ def _ct_axis_last(xr, xi, view, inverse, precision):
             outi.reshape(lead + (n1 * n2,)))
 
 
+def _mm_real(spec, x, m, part, precision):
+    """Real matmul against one part ('r'/'i') of a complex matrix."""
+    if precision == "split3":
+        return _split_mm(spec, x, m[f"{part}_hi"], m[f"{part}_lo"])
+    return jnp.einsum(spec, x, m[part], precision=precision,
+                      preferred_element_type=jnp.float32)
+
+
+def _ct_axis_last_realin(x, view, precision):
+    """Forward permuted DFT along the last axis for a *real* input:
+    stage 1 needs only 2 real matmuls instead of the Karatsuba 3."""
+    n1, n2 = view["n1"], view["n2"]
+    lead = x.shape[:-1]
+    x = x.reshape(lead + (n1, n2))
+    ar = _mm_real("...nt,nk->...kt", x, view["f1"], "r", precision)
+    ai = _mm_real("...nt,nk->...kt", x, view["f1"], "i", precision)
+    ar, ai = _twiddle(ar, ai, view["tw"]["r"], view["tw"]["i"])
+    outr, outi = _cmm("...kt,tj->...kj", ar, ai, view["f2"], precision)
+    return (outr.reshape(lead + (n1 * n2,)),
+            outi.reshape(lead + (n1 * n2,)))
+
+
+def _ct_axis_last_realout(xr, xi, view, precision):
+    """Inverse permuted DFT along the last axis keeping only the real
+    part: the final stage needs 2 real matmuls instead of 3."""
+    n1, n2 = view["n1"], view["n2"]
+    lead = xr.shape[:-1]
+    xr = xr.reshape(lead + (n1, n2))
+    xi = xi.reshape(lead + (n1, n2))
+    ar, ai = _cmm("...kj,jt->...kt", xr, xi, view["f2i"], precision)
+    ar, ai = _twiddle(ar, ai, view["twi"]["r"], view["twi"]["i"])
+    out = (
+        _mm_real("...kt,kn->...nt", ar, view["f1i"], "r", precision)
+        - _mm_real("...kt,kn->...nt", ai, view["f1i"], "i", precision)
+    )
+    return out.reshape(lead + (n1 * n2,))
+
+
 def _ct2_parts(xr, xi, tables, inverse, precision):
     """2-D permuted (inverse) DFT: cols pass then rows pass."""
     cols = _axis_view(tables, "cols")
@@ -386,6 +427,75 @@ def _build_pair_spectra_impl(k0, k1, tables, n2r, n2c):
     a = 0.5 * (f0 + f1)
     b = 0.5 * (f0 - f1)
     return (jnp.real(a), jnp.imag(a), jnp.real(b), jnp.imag(b))
+
+
+def _ct_conv_single_impl(x, fr, fi, tables, fft_shape, precision):
+    h, w = x.shape[-2], x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [
+        (0, int(fft_shape[0]) - h),
+        (0, int(fft_shape[1]) - w),
+    ]
+    cols = _axis_view(tables, "cols")
+    rows = _axis_view(tables, "rows")
+
+    zr, zi = _ct_axis_last_realin(jnp.pad(x, pad), cols, precision)
+    zr, zi = jnp.swapaxes(zr, -1, -2), jnp.swapaxes(zi, -1, -2)
+    zr, zi = _ct_axis_last(zr, zi, rows, False, precision)
+    zr, zi = jnp.swapaxes(zr, -1, -2), jnp.swapaxes(zi, -1, -2)
+
+    wr = fr * zr - fi * zi
+    wi = fr * zi + fi * zr
+
+    yr, yi = _ct_axis_last(wr, wi, cols, True, precision)
+    yr, yi = jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2)
+    out = _ct_axis_last_realout(yr, yi, rows, precision)
+    return jnp.swapaxes(out, -1, -2)[..., :h, :w]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def ct_convolve_single(x, fr, fi, tables, fft_shape,
+                       precision="split3"):
+    """Convolve one real image via the permuted matmul DFT.
+
+    Single-image twin of :func:`ct_convolve_pair` for the per-
+    observation paths (sequential strategy, odd stack tails, spatially
+    sharded evaluation — the einsum stages partition under GSPMD where
+    XLA's FFT op rejects resharded layouts). Exploits real structure:
+    the first forward stage and the last inverse stage each need 2
+    real matmuls instead of the Karatsuba 3, and no frequency-negation
+    pass is needed at all. ``(fr, fi)`` come from
+    :func:`ct_kernel_spectra`. The VJP conjugates the spectrum, so the
+    gradient costs exactly one forward.
+    """
+    return _ct_conv_single_impl(x, fr, fi, tables, fft_shape, precision)
+
+
+def _ct_conv_single_fwd(x, fr, fi, tables, fft_shape, precision):
+    out = _ct_conv_single_impl(x, fr, fi, tables, fft_shape, precision)
+    return out, (fr, fi, tables)
+
+
+def _ct_conv_single_bwd(fft_shape, precision, res, g):
+    fr, fi, tables = res
+    dx = _ct_conv_single_impl(g, fr, -fi, tables, fft_shape, precision)
+    zeros = jax.tree.map(jnp.zeros_like, (fr, fi, tables))
+    return (dx,) + zeros
+
+
+ct_convolve_single.defvjp(_ct_conv_single_fwd, _ct_conv_single_bwd)
+
+
+@jax.jit
+def _kernel_spectra_impl(embedded, tables):
+    z = ct_dft2(embedded.astype(jnp.complex64), tables,
+                lax.Precision.HIGHEST)
+    return jnp.real(z), jnp.imag(z)
+
+
+def ct_kernel_spectra(embedded, tables):
+    """Per-kernel CT spectra ``(re, im)`` from origin-centered embedded
+    kernels (device, HIGHEST precision, one jitted dispatch)."""
+    return _kernel_spectra_impl(embedded, tables)
 
 
 def ct_build_pair_spectra(embedded, tables):

@@ -7,8 +7,9 @@ stacked observation arrays shard as ``P("obs", None, None, "row",
 None)``; parameters stay replicated and GSPMD inserts the collectives
 the convolution needs across the sharded image axis.
 
-Pair this with ``conv_mode="mxu"`` (the matmul DFT): its einsum stages
-partition cleanly under GSPMD, whereas XLA's FFT op rejects the
+Pair this with ``conv_mode="ct"`` (packed-pair Cooley-Tukey matmul
+DFT, ``ops.ct_conv``) or ``conv_mode="mxu"`` (its v1): their einsum
+stages partition cleanly under GSPMD, whereas XLA's FFT op rejects the
 resharded layouts the 2-D mesh produces (CPU runtime RET_CHECK; TPU
 would all-gather). Verified identical to single-device evaluation on an
 8-device (2 obs x 4 row) mesh.
@@ -60,8 +61,10 @@ def shard_stacked_spatial(stacked, mesh):
 
     new = _copy.copy(stacked)
     new.pair_kernels = None
+    new.ct_pair_kernels = None
     new.sharded = True
-    for attr in ("counts", "background", "exposures", "psf_ffts", "psfs"):
+    for attr in ("counts", "background", "exposures", "psf_ffts", "psfs",
+                 "ct_singles"):
         value = getattr(stacked, attr)
         if value is not None:
             setattr(new, attr, jax.tree_util.tree_map(place, value))
@@ -72,9 +75,10 @@ def shard_stacked_spatial(stacked, mesh):
         value = getattr(stacked, attr)
         if value is not None:
             setattr(new, attr, jax.device_put(value, obs_only))
-    if stacked.dft_tables is not None:
-        new.dft_tables = jax.tree_util.tree_map(
-            lambda leaf: jax.device_put(leaf, replicated),
-            stacked.dft_tables,
-        )
+    for attr in ("dft_tables", "ct_tables"):
+        value = getattr(stacked, attr)
+        if value is not None:
+            setattr(new, attr, jax.tree_util.tree_map(
+                lambda leaf: jax.device_put(leaf, replicated), value,
+            ))
     return new

@@ -62,6 +62,7 @@ class StackedPoissonLoss:
                  weights=None, psf_scales=None, psfs=None, conv_mode="fft",
                  dft_tables=None, mxu_fft_shape=None, pair_kernels=None,
                  ct_tables=None, ct_fft_shape=None, ct_pair_kernels=None,
+                 ct_singles=None,
                  sharded=False, static_shifts=None, static_log_norms=None):
         self.counts = counts
         self.background = background
@@ -99,6 +100,7 @@ class StackedPoissonLoss:
         self.ct_pair_kernels = (
             dict(ct_pair_kernels) if ct_pair_kernels else None
         )
+        self.ct_singles = dict(ct_singles) if ct_singles else None
         self.sharded = bool(sharded)
         # per-observation calibration values used when a calibration is
         # (partially) frozen and therefore absent from the params pytree
@@ -159,7 +161,7 @@ class StackedPoissonLoss:
         )
 
         exposures, psf_ffts, psfs, pair_kernels = {}, {}, {}, {}
-        ct_pairs = {}
+        ct_pairs, ct_singles = {}, {}
         component_factors = []
         common_fft_shape = fft_shape
         mxu_tables, mxu_shape_common = None, None
@@ -259,12 +261,16 @@ class StackedPoissonLoss:
                 if n_pairs:
                     pair_kernels[name] = (pair_a, pair_b)
 
-                if conv_mode == "ct" and n_obs >= 2:
-                    # packed-pair matmul-DFT spectra in the permuted CT
-                    # basis, built on device at HIGHEST precision
+                if conv_mode == "ct":
+                    # matmul-DFT spectra in the permuted CT basis,
+                    # built on device at HIGHEST precision: packed
+                    # pairs for the joint path, per-observation
+                    # singles for the per-obs paths (sequential
+                    # strategy, odd tails, spatial sharding)
                     from ..ops.ct_conv import (
                         ct_build_pair_spectra,
                         ct_conv_shape,
+                        ct_kernel_spectra,
                         make_ct_tables,
                     )
                     from ..ops.fft import _origin_centered
@@ -285,9 +291,12 @@ class StackedPoissonLoss:
                     embedded = _origin_centered(
                         psfs_common, ct_shape_common
                     )
-                    ct_pairs[name] = ct_build_pair_spectra(
-                        embedded, ct_tables
-                    )
+                    if n_obs >= 2:
+                        ct_pairs[name] = ct_build_pair_spectra(
+                            embedded, ct_tables
+                        )
+                    sr, si = ct_kernel_spectra(embedded, ct_tables)
+                    ct_singles[name] = jnp.stack([sr, si], axis=1)
                 continue
 
             # mxu/direct modes: build-time preprocessing stays
@@ -435,6 +444,7 @@ class StackedPoissonLoss:
             ct_tables=ct_tables,
             ct_fft_shape=ct_shape_common,
             ct_pair_kernels=ct_pairs or None,
+            ct_singles=ct_singles or None,
             static_shifts=static_shifts,
             static_log_norms=static_log_norms,
         )
@@ -469,10 +479,13 @@ class StackedPoissonLoss:
         """Single-observation loss function (unbatched arrays)."""
         direct = self.conv_mode == "direct" and self.psfs is not None
         mxu = self.conv_mode == "mxu" and self.psfs is not None
+        ct = self.conv_mode == "ct" and self.ct_singles is not None
         factors = self.component_factors
         fft_shape = self.fft_shape
         mxu_fft_shape = self.mxu_fft_shape
+        ct_fft_shape = self.ct_fft_shape
         dft_tables = self.dft_tables
+        ct_tables = self.ct_tables
         has_calibration = self.has_calibration
 
         def per_obs(counts, background, shift, log_norm, stirling,
@@ -497,6 +510,13 @@ class StackedPoissonLoss:
                     from ..ops.fft_mxu import mxu_convolve
 
                     x = mxu_convolve(x, kernel, dft_tables, mxu_fft_shape)
+                elif ct:
+                    from ..ops.ct_conv import ct_convolve_single
+
+                    x = ct_convolve_single(
+                        x, kernel[0], kernel[1], ct_tables,
+                        ct_fft_shape,
+                    )
                 else:
                     x = convolve_fft_precomputed(x, kernel, fft_shape)
                 x = sum_pool(x, factors[idx])
@@ -514,8 +534,11 @@ class StackedPoissonLoss:
         leading obs axis)."""
         direct = self.conv_mode == "direct" and self.psfs is not None
         mxu = self.conv_mode == "mxu" and self.psfs is not None
+        ct = self.conv_mode == "ct" and self.ct_singles is not None
         if direct or mxu:
             kernels = [self.psfs[k] for k in self.component_names]
+        elif ct:
+            kernels = [self.ct_singles[k] for k in self.component_names]
         else:
             kernels = [self.psf_ffts[k] for k in self.component_names]
         exposures = [self.exposures[k] for k in self.component_names]
@@ -655,7 +678,7 @@ class StackedPoissonLoss:
 
         new = _copy.copy(self)
         for attr in ("counts", "background", "exposures", "psf_ffts",
-                     "psfs", "stirling", "static_shifts",
+                     "psfs", "ct_singles", "stirling", "static_shifts",
                      "static_log_norms"):
             value = getattr(self, attr)
             if value is not None:
@@ -697,7 +720,7 @@ register_pytree(
     StackedPoissonLoss,
     children_attrs=("counts", "background", "exposures", "psf_ffts", "psfs",
                     "stirling", "dft_tables", "pair_kernels",
-                    "ct_tables", "ct_pair_kernels",
+                    "ct_tables", "ct_pair_kernels", "ct_singles",
                     "static_shifts", "static_log_norms"),
     aux_attrs=(
         "names_all",

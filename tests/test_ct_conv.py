@@ -193,6 +193,109 @@ def test_stacked_loss_ct_matches_fft(n_obs):
                     np.asarray(g_fft) / scale, atol=2e-4)
 
 
+def test_stacked_loss_ct_per_obs_paths_match_fft():
+    """The per-observation CT path (`ct_convolve_single`; sequential
+    strategy / evaluate_dataset) matches the FFT per-obs path."""
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.parallel.stacked import StackedPoissonLoss
+
+    rs = np.random.RandomState(7)
+    datasets = _toy_datasets(n_obs=3)
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=rs.uniform(0.5, 2.0, (32, 32))
+    )
+    fluxes = components.to_flux_tuple()
+
+    fft_loss = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="fft"
+    )
+    ct_loss = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="ct"
+    )
+    assert ct_loss.ct_singles is not None
+    for idx in range(3):
+        v_fft = float(fft_loss.evaluate_dataset(idx, fluxes))
+        v_ct = float(ct_loss.evaluate_dataset(idx, fluxes))
+        assert_allclose(v_ct, v_fft, rtol=2e-4)
+
+    # gradient through the single-image custom VJP
+    g_fft = jax.grad(
+        lambda f: fft_loss.evaluate_dataset(1, (f,))
+    )(fluxes[0])
+    g_ct = jax.grad(
+        lambda f: ct_loss.evaluate_dataset(1, (f,))
+    )(fluxes[0])
+    scale = float(jnp.abs(g_fft).max())
+    assert_allclose(np.asarray(g_ct) / scale,
+                    np.asarray(g_fft) / scale, atol=2e-4)
+
+
+def test_spatial_sharding_ct_matches_single_device():
+    """2-D (obs x row) mesh with conv_mode='ct': the einsum stages
+    partition under GSPMD like the mxu mode, values and gradients."""
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.parallel import (
+        make_obs_row_mesh,
+        shard_stacked_spatial,
+    )
+    from jolideco_tpu.parallel.stacked import StackedPoissonLoss
+
+    rs = np.random.RandomState(8)
+    datasets = _toy_datasets(n_obs=4)
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=rs.uniform(0.5, 2.0, (32, 32))
+    )
+    fluxes = components.to_flux_tuple()
+
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="ct"
+    )
+    expected = np.asarray(stacked.evaluate(fluxes))
+
+    mesh = make_obs_row_mesh(2, 4)
+    sharded = shard_stacked_spatial(stacked, mesh)
+    assert sharded.ct_pair_kernels is None     # per-obs path under 2-D mesh
+    got = np.asarray(jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes))
+    assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+    g1 = jax.grad(lambda f: jnp.sum(stacked.evaluate((f,))))(fluxes[0])
+    g2 = jax.jit(
+        jax.grad(lambda f, s=sharded: jnp.sum(s.evaluate((f,))))
+    )(fluxes[0])
+    scale = float(jnp.abs(g1).max())
+    assert_allclose(np.asarray(g2) / scale, np.asarray(g1) / scale,
+                    atol=1e-5)
+
+
+def test_obs_sharding_ct_keeps_pairs_when_even():
+    """Under a 1-D obs mesh with an even per-device count the CT pair
+    spectra stay sharded (packing survives), matching unsharded."""
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.parallel import make_obs_mesh
+    from jolideco_tpu.parallel.stacked import StackedPoissonLoss
+
+    rs = np.random.RandomState(9)
+    datasets = _toy_datasets(n_obs=8)
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=rs.uniform(0.5, 2.0, (32, 32))
+    )
+    fluxes = components.to_flux_tuple()
+
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="ct"
+    )
+    expected = np.asarray(stacked.evaluate(fluxes))
+
+    mesh = make_obs_mesh(4)
+    sharded = stacked.shard(mesh)
+    assert sharded.ct_pair_kernels is not None  # 2 obs/device: pairs kept
+    got = np.asarray(jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes))
+    assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
 def test_deconvolver_ct_mode_end_to_end():
     """A short MAPDeconvolver run with conv_mode='ct' converges to the
     same flux as the FFT mode within split-float tolerance."""
