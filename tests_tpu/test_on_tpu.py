@@ -362,3 +362,45 @@ def test_stacked_ragged_upsampled_build_on_tpu():
         np.asarray(per_dataset.evaluate(fluxes)),
         rtol=1e-4,
     )
+
+
+@requires_device("tpu")
+def test_stacked_ct_conv_compiled_matches_fft():
+    """conv_mode='ct' (packed-pair Cooley-Tukey matmul DFT,
+    `ops/ct_conv.py`) vs the FFT path, compiled on the chip: loss
+    values and flux gradients. The Karatsuba split-float complex
+    matmuls only exercise real MXU behavior here — the CPU tier runs
+    them through XLA:CPU's float path, which hides bf16 rounding."""
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.data import gauss_and_point_sources_gauss_psf
+    from jolideco_tpu.parallel import StackedPoissonLoss
+
+    rs = np.random.RandomState(11)
+    datasets = {
+        f"o{i}": gauss_and_point_sources_gauss_psf(random_state=rs)
+        for i in range(5)  # odd count: exercises the rFFT tail fallback
+    }
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=rs.gamma(20, size=(32, 32))
+    )
+    fluxes = components.to_flux_tuple()
+
+    fft_loss = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="fft"
+    )
+    ct_loss = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="ct"
+    )
+    assert ct_loss.ct_pair_kernels is not None
+
+    ev = jax.jit(lambda s, f: s.evaluate(f))
+    v_fft = np.asarray(ev(fft_loss, fluxes))
+    v_ct = np.asarray(ev(ct_loss, fluxes))
+    assert_allclose(v_ct, v_fft, rtol=2e-4, atol=2e-4)
+
+    gr = jax.jit(lambda s, f: jax.grad(lambda x: s(((x,))))(f))
+    g_fft = np.asarray(gr(fft_loss, fluxes[0]))
+    g_ct = np.asarray(gr(ct_loss, fluxes[0]))
+    scale = np.abs(g_fft).max()
+    assert_allclose(g_ct / scale, g_fft / scale, atol=3e-4)
