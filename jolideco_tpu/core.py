@@ -56,6 +56,37 @@ def _build_sgd(learning_rate, momentum=0.0, nesterov=False, **kwargs):
                      nesterov=nesterov, **kwargs)
 
 
+def _validate_component_shapes(datasets, components):
+    """Fail the build with a clear message on flux/data shape mismatch.
+
+    Without this, a flux initialised at the wrong resolution (e.g.
+    already-upsampled pixels passed to
+    ``SpatialFluxComponent.from_numpy``, which expects DATA resolution
+    and upsamples by ``upsampling_factor`` itself — reference
+    ``models/core.py:505-540``) only surfaces as a broadcast error deep
+    inside the traced forward.
+    """
+    for ds_name, dataset in datasets.items():
+        data_shape = tuple(np.asarray(dataset["counts"]).shape[-2:])
+        for name, component in components.items():
+            flux = getattr(component, "flux_upsampled", None)
+            if flux is None:
+                # sparse components splat onto their own grid
+                continue
+            factor = getattr(component, "upsampling_factor", 1) or 1
+            expected = (data_shape[0] * factor, data_shape[1] * factor)
+            got = tuple(flux.shape[-2:])
+            if got != expected:
+                raise ValueError(
+                    f"Flux component {name!r} has shape {got} but dataset "
+                    f"{ds_name!r} counts are {data_shape} with upsampling "
+                    f"factor {factor} (expected flux shape {expected}). "
+                    "Note SpatialFluxComponent.from_numpy takes the flux "
+                    "at data resolution and upsamples it by "
+                    "upsampling_factor itself."
+                )
+
+
 OPTIMIZER = {
     "adam": _build_adam,
     "sgd": _build_sgd,
@@ -221,6 +252,9 @@ class MAPDeconvolver:
         the ``obs`` axis); anything else falls back to per-dataset
         models.
         """
+        _validate_component_shapes(datasets, components)
+        if datasets_validation:
+            _validate_component_shapes(datasets_validation, components)
         if self.update_strategy == "joint":
             from .loss import PriorLoss
             from .parallel.stacked import StackedPoissonLoss

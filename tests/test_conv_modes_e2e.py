@@ -77,3 +77,56 @@ def test_mxu_dft_roundtrip():
     ).astype(jnp.complex64)
     back = mxu_idft2(mxu_dft2(x, tables), tables)
     assert_allclose(np.asarray(back.real), np.asarray(x.real), atol=1e-5)
+
+
+def test_joint_training_ct_full_config_matches_fft(datasets):
+    """conv_mode='ct' through the full configuration space: ×2
+    upsampling + per-observation trainable calibrations, 20 joint
+    epochs, vs the FFT path."""
+    from jolideco_tpu.models import NPredCalibration, NPredCalibrations
+
+    def build():
+        r = np.random.RandomState(1)
+        c = FluxComponents()
+        c["flux"] = SpatialFluxComponent.from_numpy(
+            flux=r.gamma(20, size=(32, 32)),
+            prior=UniformPrior(),
+            upsampling_factor=2,
+        )
+        return c
+
+    def build_cal():
+        cal = NPredCalibrations()
+        for name in datasets:
+            cal[name] = NPredCalibration(shift_x=0.1, shift_y=-0.2)
+        return cal
+
+    results = {}
+    for mode in ("fft", "ct"):
+        deco = MAPDeconvolver(
+            n_epochs=20, learning_rate=0.1, display_progress=False,
+            update_strategy="joint", conv_mode=mode,
+        )
+        results[mode] = deco.run(
+            datasets=datasets, components=build(), calibrations=build_cal()
+        )
+    assert_allclose(
+        results["ct"].flux_total, results["fft"].flux_total,
+        rtol=2e-4, atol=1e-5,
+    )
+
+
+def test_wrong_resolution_flux_fails_at_build():
+    """An already-upsampled flux init must fail with a clear build-time
+    error, not a broadcast error inside the traced forward."""
+    rs = np.random.RandomState(0)
+    datasets = {
+        "a": gauss_and_point_sources_gauss_psf(random_state=rs)
+    }
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((64, 64), np.float32), upsampling_factor=2
+    )
+    deco = MAPDeconvolver(n_epochs=1, display_progress=False)
+    with pytest.raises(ValueError, match="expected flux shape"):
+        deco.run(datasets=datasets, components=components)
