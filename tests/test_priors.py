@@ -20,7 +20,10 @@ from jolideco_tpu.priors import (
     SmoothnessPrior,
     UniformPrior,
 )
-from jolideco_tpu.priors.patches.gmm import GMM_REGISTRY
+from jolideco_tpu.priors.patches.gmm import (
+    GMM_REGISTRY,
+    GaussianMixtureModelMeta,
+)
 from jolideco_tpu.utils.norms import ASinhImageNorm
 
 
@@ -419,3 +422,39 @@ def test_gmm_read_epll_matlab_16x16(tmp_path):
     assert_allclose(np.asarray(gmm.covariances), covariances, rtol=1e-6)
     assert_allclose(np.asarray(gmm.means), 0.0)
     assert gmm.meta.stride == 8
+
+
+def test_gmm_patch_prior_16x16_end_to_end():
+    """Non-default patch size (16×16, d=256) trains end-to-end: the
+    scorer dispatch (fused kernel is 8×8-only, `fused_supported`)
+    falls through to the generic quadratic-form path."""
+    from jolideco_tpu import (
+        FluxComponents,
+        MAPDeconvolver,
+        SpatialFluxComponent,
+    )
+    from jolideco_tpu.data import gauss_and_point_sources_gauss_psf
+
+    rs = np.random.RandomState(0)
+    d, k = 256, 4
+    means = 0.05 * rs.randn(k, d)
+    covs = np.stack([np.eye(d) * (0.1 + 0.01 * i) for i in range(k)])
+    gmm = GaussianMixtureModel.from_numpy(
+        means=means, covariances=covs, weights=np.ones(k) / k,
+        meta=GaussianMixtureModelMeta(stride=8),
+    )
+    assert gmm.patch_shape == (16, 16)
+
+    datasets = {
+        f"{i}": gauss_and_point_sources_gauss_psf(random_state=rs)
+        for i in range(2)
+    }
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=rs.gamma(20, size=(32, 32)), prior=GMMPatchPrior(gmm=gmm)
+    )
+    deco = MAPDeconvolver(
+        n_epochs=5, display_progress=False, update_strategy="joint"
+    )
+    result = deco.run(datasets=datasets, components=components)
+    assert np.isfinite(result.flux_total).all()
