@@ -709,12 +709,14 @@ def test_multi_component_order_survives_jit():
     assert_allclose(jitted, eager, rtol=1e-6)
 
 
+@pytest.mark.parametrize("conv_mode", ["fft", "ct"])
 @pytest.mark.parametrize("seed", range(6))
-def test_stacked_matches_per_dataset_random_configs(seed):
+def test_stacked_matches_per_dataset_random_configs(seed, conv_mode):
     """Property sweep over the device-build parameter space: random
     observation counts, image sizes, odd/even ragged PSF sizes and
     upsampling factors — the stacked loss and its gradient must match
-    the per-dataset build."""
+    the per-dataset build, in both the FFT and the Cooley-Tukey
+    matmul-DFT convolution modes."""
     from jolideco_tpu.models import SpatialFluxComponent
 
     rs = np.random.RandomState(1000 + seed)
@@ -745,7 +747,7 @@ def test_stacked_matches_per_dataset_random_configs(seed):
     )
 
     stacked = StackedPoissonLoss.from_datasets(
-        datasets=datasets, components=components
+        datasets=datasets, components=components, conv_mode=conv_mode
     )
     per_dataset = PoissonLoss.from_datasets(
         datasets=datasets, components=components
