@@ -297,14 +297,15 @@ class TotalLoss:
             return self(flux_tuple, key=key)
 
         # The Pallas scorer supports forward-over-reverse directly for
-        # the MAP (max) reduction via nested custom_jvp rules — the
-        # probe runs on the same kernels as training, no re-trace of
-        # the XLA scan scorer. Two trace-time fallbacks: the fused
-        # image-level scorer is custom_vjp (no JVP rule; jax raises
-        # TypeError), so re-trace with the patch-level kernels; and
-        # marginalise-mode GMM priors have no kernel JVP
-        # (NotImplementedError), so re-trace with the (fully
-        # differentiable, but slow-to-compile) XLA scan scorer.
+        # both reductions via nested custom_jvp rules (MAP: the argmax
+        # is piecewise constant, HVP = -t A_{k*}; marginalise: a
+        # dedicated softmax-HVP kernel) — the probe runs on the same
+        # kernels as training, no re-trace of the XLA scan scorer.
+        # Trace-time fallbacks remain for the fused image-level scorer
+        # (custom_vjp, no JVP rule; jax raises TypeError — re-trace
+        # with the patch-level kernels) and, defensively, for any
+        # future kernel without second order (NotImplementedError —
+        # re-trace with the fully differentiable XLA scan scorer).
         from contextlib import ExitStack
 
         stages = (

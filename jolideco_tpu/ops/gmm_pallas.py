@@ -41,6 +41,14 @@ output element receives exactly one nonzero term), so the MAP backward
 is exact f32 at two bf16 passes. The marginalise backward replaces the
 one-hot with softmax weights (split bf16x3 for accuracy) and adds a
 logit recomputation.
+
+Second order is nested ``custom_jvp`` all the way down: the MAP unit
+gradient's JVP is ``-t A_{k*}`` (argmax piecewise constant), and the
+marginalise unit gradient's JVP is the softmax-HVP kernel
+(``_hvp_marg_kernel``: one extra cross quadratic form gives the
+directional logit derivatives, then two A-mixtures) — so
+``TotalLoss.hessian_diagonals`` runs on compiled kernels in both
+reductions.
 """
 
 from functools import partial
@@ -74,6 +82,7 @@ K_ALIGN = 128  # component padding: full MXU lane panels
 # logits AND holds the selection buffers, so it runs at half tile.
 _TILE_BY_MODE = {"highest": 256, "split3": 256, "default": 256}
 _TILE_BWD_MARG = 128
+_TILE_HVP_MARG = 64  # recomputed logits + cross form + 2 A-mixtures
 _HIGHEST_JB = 16  # j-block: u panels of 16*64 = 1024 lanes
 
 
@@ -148,19 +157,23 @@ def pack_gmm_buffers(means_prec, prec_chol, log_det, log_weights,
     }
 
 
-def _outer_rows(x, d, j_lo=0, j_hi=None):
-    """Row-wise outer product ``u[n, (j - j_lo)*d + e] = x[n, j] x[n, e]``.
+def _outer_rows(x, d, j_lo=0, j_hi=None, x_e=None):
+    """Row-wise outer product ``u[n, (j - j_lo)*d + e] = x[n, j] y[n, e]``.
 
-    ``pltpu.repeat`` TILES the lane vector (``[x0..x63, x0..x63, ...]``)
+    ``pltpu.repeat`` TILES the lane vector (``[y0..y63, y0..y63, ...]``)
     — that is the e-cycling factor; the j-major factor concatenates
     single-lane broadcasts. ``j_lo/j_hi`` select a block of the outer
     index so callers can stream u in panels instead of materialising
-    the full ``(TILE_N, d*d)`` buffer.
+    the full ``(TILE_N, d*d)`` buffer. ``x_e`` (default ``x``) supplies
+    the e-cycling factor ``y`` for cross forms like ``t_j x_e`` (the
+    marginalise HVP's directional quadratic term).
     """
     if j_hi is None:
         j_hi = d
+    if x_e is None:
+        x_e = x
     n_j = j_hi - j_lo
-    xe = pltpu.repeat(x, n_j, axis=1)             # x_e cycling
+    xe = pltpu.repeat(x_e, n_j, axis=1)           # y_e cycling
     xj = jnp.concatenate(                         # x_j repeated d times
         [jax.lax.broadcast_in_dim(x[:, j:j + 1], (x.shape[0], d), (0, 1))
          for j in range(j_lo, j_hi)],
@@ -169,37 +182,43 @@ def _outer_rows(x, d, j_lo=0, j_hi=None):
     return xj * xe
 
 
-def _logits_block(x, aq_refs, bq_ref, const2_ref, mode):
-    """Per-tile logits ``(TILE_N, K_pad)`` from the quadratic form."""
+def _quad_rows(x, aq_refs, mode, x_e=None):
+    """Per-tile quadratic form ``q[n, k] = x_n A_k y_n^T`` (``y = x_e``
+    for cross forms, default ``y = x``)."""
     d = x.shape[1]
     if mode == "split3":
-        u = _outer_rows(x, d)
+        u = _outer_rows(x, d, x_e=x_e)
         aq_hi, aq_lo = aq_refs
         u_hi = u.astype(jnp.bfloat16)
         u_lo = (u - u_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        q = (
+        return (
             jnp.dot(u_hi, aq_hi[:], preferred_element_type=jnp.float32)
             + jnp.dot(u_lo, aq_hi[:], preferred_element_type=jnp.float32)
             + jnp.dot(u_hi, aq_lo[:], preferred_element_type=jnp.float32)
         )
-    elif mode == "highest":
+    if mode == "highest":
         # f32 operands would need a (TILE_N, d*d) f32 u buffer; stream
         # it in j-panels instead and accumulate the contraction so the
         # full 256-row tile fits VMEM
         (aq,) = aq_refs
         q = jnp.zeros((x.shape[0], aq.shape[1]), jnp.float32)
         for j0 in range(0, d, _HIGHEST_JB):
-            u_blk = _outer_rows(x, d, j0, j0 + _HIGHEST_JB)
+            u_blk = _outer_rows(x, d, j0, j0 + _HIGHEST_JB, x_e=x_e)
             q = q + jnp.dot(
                 u_blk, aq[j0 * d:(j0 + _HIGHEST_JB) * d, :],
                 preferred_element_type=jnp.float32,
                 precision=lax.Precision.HIGHEST,
             )
-    else:
-        u = _outer_rows(x, d)
-        (aq,) = aq_refs
-        q = jnp.dot(u, aq[:], preferred_element_type=jnp.float32,
-                    precision=lax.Precision.DEFAULT)
+        return q
+    u = _outer_rows(x, d, x_e=x_e)
+    (aq,) = aq_refs
+    return jnp.dot(u, aq[:], preferred_element_type=jnp.float32,
+                   precision=lax.Precision.DEFAULT)
+
+
+def _logits_block(x, aq_refs, bq_ref, const2_ref, mode):
+    """Per-tile logits ``(TILE_N, K_pad)`` from the quadratic form."""
+    q = _quad_rows(x, aq_refs, mode)
     # the b term is a tiny d-contraction; keep it exact
     xb = jnp.dot(x, bq_ref[:], preferred_element_type=jnp.float32,
                  precision=lax.Precision.HIGHEST)
@@ -375,6 +394,55 @@ def _unit_marg_kernel(*refs, mode):
                                  bqt_ref)
 
 
+def _hvp_marg_kernel(*refs, mode):
+    """Marginalise-mode Hessian action on a tangent ``t``.
+
+    With ``p = softmax(logits)`` and per-component score gradients
+    ``r_k = b_k - x A_k``, the unit gradient is ``sum_k p_k r_k`` and
+    its directional derivative along ``t`` is
+
+        H t = -sum_k p_k (t A_k)  +  sum_k dp_k r_k,
+        dp_k = p_k (g_k - sum_j p_j g_j),   g_k = r_k . t.
+
+    ``g`` is one cross quadratic form (``u(t, x) @ aq``, same MXU cost
+    as the logits) plus the tiny ``t @ bq`` term; both mixtures reuse
+    :func:`_select_contract`.
+    """
+    if mode == "split3":
+        (x_ref, t_ref, values_ref, aq_hi_ref, aq_lo_ref, bq_ref,
+         const2_ref, aqt_hi_ref, aqt_lo_ref, bqt_ref, dx_ref) = refs
+        aq_refs = (aq_hi_ref, aq_lo_ref)
+    else:
+        (x_ref, t_ref, values_ref, aq_ref, bq_ref, const2_ref,
+         aqt_hi_ref, aqt_lo_ref, bqt_ref, dx_ref) = refs
+        aq_refs = (aq_ref,)
+
+    x = x_ref[:]
+    t = t_ref[:]
+    logits = _logits_block(x, aq_refs, bq_ref, const2_ref, mode)
+    p = jnp.exp(logits - values_ref[:])
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+
+    # g_k = r_k . t = t b_k - t A_k x^T (A symmetric)
+    tb = jnp.dot(t, bq_ref[:], preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)
+    g = tb - _quad_rows(t, aq_refs, mode, x_e=x)
+    # padded components carry p = 0 (their const2 is -inf), so their
+    # (zero-buffer) g values drop out of every term below
+    gbar = jnp.sum(p * g, axis=1, keepdims=True)
+    dp = p * (g - gbar)
+
+    p_hi = p.astype(jnp.bfloat16)
+    p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dp_hi = dp.astype(jnp.bfloat16)
+    dp_lo = (dp - dp_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dx_ref[:] = (
+        _select_contract(t, p_hi, p_lo, aqt_hi_ref, aqt_lo_ref, None)
+        + _select_contract(x, dp_hi, dp_lo, aqt_hi_ref, aqt_lo_ref,
+                           bqt_ref)
+    )
+
+
 def _row_specs(tile_n, d):
     row = pl.BlockSpec((tile_n, d), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
@@ -442,14 +510,34 @@ def _unit_marg_pallas(interpret, mode, x, values2, *buffers):
     )(x, values2, *buffers)
 
 
+def _hvp_marg_pallas(interpret, mode, t, x, values2, *buffers):
+    n_pad, d = x.shape
+    row_spec, col_spec = _row_specs(_TILE_HVP_MARG, d)
+    return pl.pallas_call(
+        partial(_hvp_marg_kernel, mode=mode),
+        grid=(n_pad // _TILE_HVP_MARG,),
+        in_specs=[row_spec, row_spec, col_spec,
+                  *[_full(b) for b in buffers]],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        interpret=interpret,
+    )(x, t, values2, *buffers)
+
+
 @_unit_marg_pallas.defjvp
 def _unit_marg_pallas_jvp(interpret, mode, primals, tangents):
-    raise NotImplementedError(
-        "second-order differentiation of the Pallas GMM scorer is only "
-        "implemented for the MAP (max) reduction; use the XLA scan "
-        "scorer (config.force_pallas('off')) for marginalize=True "
-        "Hessian probes"
-    )
+    """JVP of the softmax-weighted unit gradient (the marginalise HVP).
+
+    The kernel renormalises ``p`` against the recomputed logits, so
+    ``values2`` only stabilises the exponentials — the unit gradient is
+    exactly invariant to it and its tangent is ignored (as are the
+    frozen GMM buffers', matching the MAP rule).
+    """
+    x, values2, *buffers = primals
+    t_x = tangents[0]
+    unit = _unit_marg_pallas(interpret, mode, x, values2, *buffers)
+    tangent = _hvp_marg_pallas(interpret, mode, t_x, x, values2, *buffers)
+    return unit, tangent
 
 
 def _grad_unit(patches, values, argmax, packed, interpret, precision,

@@ -205,7 +205,9 @@ def _score_fwd_impl(patches, means_prec, prec_chol, log_det, log_weights,
         logits = -0.5 * q + const_blk                      # (N, K_BLOCK)
 
         block_best = jnp.max(logits, axis=1)
-        block_arg = jnp.argmax(logits, axis=1)
+        # explicit int32: under jax_enable_x64 argmax returns int64,
+        # which would change the carry dtype mid-scan
+        block_arg = jnp.argmax(logits, axis=1).astype(jnp.int32)
         take = block_best > best
         best = jnp.where(take, block_best, best)
         best_idx = jnp.where(take, kb * K_BLOCK + block_arg, best_idx)

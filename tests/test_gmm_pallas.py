@@ -248,26 +248,114 @@ def test_hvp_matches_scan(gmm, patches):
     )
 
 
-def test_hvp_marginalize_raises(gmm, patches):
-    """Marginalise mode has no kernel JVP: a second-order probe raises
-    NotImplementedError at trace time (TotalLoss.hessian_diagonals
-    catches it and falls back to the XLA scan scorer)."""
+def test_hvp_marginalize_matches_scan(patches):
+    """Forward-over-reverse through the marginalise (logsumexp) scorer
+    runs on kernels and matches the XLA scan scorer: the HVP kernel
+    recomputes the softmax and applies
+    ``-sum_k p_k t A_k + sum_k dp_k (b_k - x A_k)``.
+
+    Uses the moderately-conditioned SPD GMM (like the gradient test
+    above): two correct f32 implementations of the built-in model's
+    O(1e5) logits differ at the softmax-conditioning level."""
+    from sklearn.datasets import make_spd_matrix
+
+    from jolideco_tpu.ops.gmm_score import gmm_score
+
+    rs = np.random.RandomState(3)
+    k, d = 16, 64
+    gmm = GaussianMixtureModel.from_numpy(
+        means=rs.rand(k, d),
+        covariances=np.stack(
+            [make_spd_matrix(d, random_state=i) for i in range(k)]
+        ),
+        weights=rs.dirichlet(np.ones(k)),
+    )
     ones = jnp.ones_like(patches)
 
-    def loss(x):
+    def loss_pallas(x):
         values, _ = gmm_score_pallas(
             x, *_pallas_args(gmm), True, marginalize=True
         )
         return jnp.sum(values)
 
-    with pytest.raises(NotImplementedError, match="MAP"):
-        jax.jvp(jax.grad(loss), (patches,), (ones,))
+    def loss_scan(x):
+        values, _ = gmm_score(
+            x,
+            gmm.means_precisions_cholesky,
+            gmm.precisions_cholesky,
+            gmm.log_det_cholesky,
+            gmm.log_weights,
+            gmm.pixel_weights,
+            marginalize=True,
+        )
+        return jnp.sum(values)
+
+    _, hvp_pallas = jax.jvp(jax.grad(loss_pallas), (patches,), (ones,))
+    _, hvp_scan = jax.jvp(jax.grad(loss_scan), (patches,), (ones,))
+    scale = np.abs(np.asarray(hvp_scan)).max()
+    assert_allclose(
+        np.asarray(hvp_pallas) / scale, np.asarray(hvp_scan) / scale,
+        atol=1e-4,
+    )
+
+
+def test_hvp_marginalize_builtin_vs_dense_f64(gmm, patches):
+    """Built-in (ill-conditioned) GMM: the kernel HVP against the
+    analytic Hessian action evaluated in numpy float64 —
+    ``H t = -sum_k p_k A_k t + sum_k p_k (g_k - gbar) r_k`` with
+    ``r_k = b_k - x A_k`` and ``g_k = r_k . t``. This pins the kernel
+    to the exact mathematics rather than to another f32 softmax."""
+    x = np.asarray(patches, np.float64)[:64]
+    t = np.ones_like(x)
+
+    L = np.asarray(gmm.precisions_cholesky, np.float64)
+    mp = np.asarray(gmm.means_precisions_cholesky, np.float64)
+    ld = np.asarray(gmm.log_det_cholesky, np.float64)
+    lw = np.asarray(gmm.log_weights, np.float64)
+    w = np.asarray(gmm.pixel_weights, np.float64).reshape(-1)
+    d = x.shape[1]
+
+    a_quad = np.einsum("kde,e,kje->kdj", L, w, L)
+    b_quad = np.einsum("ke,e,kje->kj", mp, w, L)
+    c_quad = np.einsum("ke,e,ke->k", mp, w, mp)
+    const = -0.5 * d * np.log(2 * np.pi) + ld + lw - 0.5 * c_quad
+
+    xa = np.einsum("nd,kdj->nkj", x, a_quad)
+    logits = (
+        -0.5 * np.einsum("nkj,nj->nk", xa, x)
+        + x @ b_quad.T
+        + const[None, :]
+    )
+    p = np.exp(logits - logits.max(axis=1, keepdims=True))
+    p /= p.sum(axis=1, keepdims=True)
+    r = b_quad[None, :, :] - xa                     # (n, k, d)
+    g = np.einsum("nkd,nd->nk", r, t)
+    gbar = np.einsum("nk,nk->n", p, g)
+    hvp_ref = (
+        -np.einsum("nk,kdj,nj->nd", p, a_quad, t)
+        + np.einsum("nk,nkd->nd", p * (g - gbar[:, None]), r)
+    )
+
+    def loss_pallas(xx):
+        values, _ = gmm_score_pallas(
+            xx, *_pallas_args(gmm), True, marginalize=True
+        )
+        return jnp.sum(values)
+
+    xj = jnp.asarray(x, jnp.float32)
+    _, hvp_pallas = jax.jvp(
+        jax.grad(loss_pallas), (xj,), (jnp.asarray(t, jnp.float32),)
+    )
+    scale = np.abs(hvp_ref).max()
+    assert_allclose(
+        np.asarray(hvp_pallas) / scale, hvp_ref / scale, atol=1e-4,
+    )
 
 
 def test_hessian_diagonals_pallas_path(gmm):
     """End-to-end TotalLoss.hessian_diagonals with the Pallas scorer
     (interpret) agrees with the XLA scan scorer, for both MAP (kernel
-    JVP) and marginalise (automatic fallback) GMM priors."""
+    JVP) and marginalise (softmax-HVP kernel) GMM priors."""
     from jolideco_tpu import (
         FluxComponents,
         GMMPatchPrior,

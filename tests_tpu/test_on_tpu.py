@@ -139,6 +139,61 @@ def test_pallas_hvp_compiled_matches_scan(gmm, patches):
 
 
 @requires_device("tpu")
+def test_pallas_hvp_marginalize_compiled_vs_dense_f64(gmm, patches):
+    """Compiled marginalise-mode HVP (the softmax-HVP Mosaic kernel)
+    vs the analytic Hessian action in numpy float64 — pins the
+    compiled kernel to the mathematics rather than another f32
+    softmax (the builtin GMM's O(1e5) logits make two correct f32
+    softmax implementations differ at ~1e-2)."""
+    from jolideco_tpu.ops.gmm_pallas import gmm_score_pallas
+
+    x = np.asarray(patches, np.float64)[:256]
+    t = np.ones_like(x)
+
+    L = np.asarray(gmm.precisions_cholesky, np.float64)
+    mp = np.asarray(gmm.means_precisions_cholesky, np.float64)
+    ld = np.asarray(gmm.log_det_cholesky, np.float64)
+    lw = np.asarray(gmm.log_weights, np.float64)
+    w = np.asarray(gmm.pixel_weights, np.float64).reshape(-1)
+    d = x.shape[1]
+
+    a_quad = np.einsum("kde,e,kje->kdj", L, w, L)
+    b_quad = np.einsum("ke,e,kje->kj", mp, w, L)
+    c_quad = np.einsum("ke,e,ke->k", mp, w, mp)
+    const = -0.5 * d * np.log(2 * np.pi) + ld + lw - 0.5 * c_quad
+
+    xa = np.einsum("nd,kdj->nkj", x, a_quad)
+    logits = (
+        -0.5 * np.einsum("nkj,nj->nk", xa, x)
+        + x @ b_quad.T
+        + const[None, :]
+    )
+    p = np.exp(logits - logits.max(axis=1, keepdims=True))
+    p /= p.sum(axis=1, keepdims=True)
+    r = b_quad[None, :, :] - xa
+    g = np.einsum("nkd,nd->nk", r, t)
+    gbar = np.einsum("nk,nk->n", p, g)
+    hvp_ref = (
+        -np.einsum("nk,kdj,nj->nd", p, a_quad, t)
+        + np.einsum("nk,nkd->nd", p * (g - gbar[:, None]), r)
+    )
+
+    args = (gmm.packed, gmm.means_precisions_cholesky,
+            gmm.precisions_cholesky, gmm.pixel_weights)
+
+    def loss_pallas(xx):
+        return gmm_score_pallas(
+            xx, *args, False, lax.Precision.HIGHEST, True
+        )[0].sum()
+
+    hvp_pallas = np.asarray(jax.jit(
+        lambda xx, tt: jax.jvp(jax.grad(loss_pallas), (xx,), (tt,))[1]
+    )(jnp.asarray(x, jnp.float32), jnp.asarray(t, jnp.float32)))
+    scale = np.abs(hvp_ref).max()
+    assert_allclose(hvp_pallas / scale, hvp_ref / scale, atol=1e-4)
+
+
+@requires_device("tpu")
 def test_fused_scorer_compiled_matches_patch_pipeline(gmm):
     """Compiled fused image-level scorer (batched R=8 strip tiles,
     `ops/gmm_fused.py`) vs the patch-level Pallas pipeline, values and
