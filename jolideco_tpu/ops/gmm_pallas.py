@@ -82,7 +82,16 @@ K_ALIGN = 128  # component padding: full MXU lane panels
 # logits AND holds the selection buffers, so it runs at half tile.
 _TILE_BY_MODE = {"highest": 256, "split3": 256, "default": 256}
 _TILE_BWD_MARG = 128
-_TILE_HVP_MARG = 64  # recomputed logits + cross form + 2 A-mixtures
+# Marginalise HVP runs as two stages (weights, then mixtures): one
+# kernel holding both the aq scoring panels and the aqt mixture panels
+# needs ~20 MB scoped VMEM at any tile size. Even split, stage 1
+# streams TWO quadratic-form pipelines (logits + the t-cross term)
+# against the resident aq panels (~18 MB at HIGHEST), so the HVP calls
+# raise the scoped-VMEM cap — fine for an occasional Hessian probe
+# (v5e has 128 MB physical VMEM; the cap trades pipelining headroom,
+# not correctness).
+_TILE_HVP_MARG = 64
+_VMEM_HVP_MARG = 32 * 1024 * 1024
 _HIGHEST_JB = 16  # j-block: u panels of 16*64 = 1024 lanes
 
 
@@ -394,8 +403,8 @@ def _unit_marg_kernel(*refs, mode):
                                  bqt_ref)
 
 
-def _hvp_marg_kernel(*refs, mode):
-    """Marginalise-mode Hessian action on a tangent ``t``.
+def _hvp_marg_weights_kernel(*refs, mode):
+    """Stage 1 of the marginalise-mode Hessian action on a tangent.
 
     With ``p = softmax(logits)`` and per-component score gradients
     ``r_k = b_k - x A_k``, the unit gradient is ``sum_k p_k r_k`` and
@@ -404,17 +413,20 @@ def _hvp_marg_kernel(*refs, mode):
         H t = -sum_k p_k (t A_k)  +  sum_k dp_k r_k,
         dp_k = p_k (g_k - sum_j p_j g_j),   g_k = r_k . t.
 
-    ``g`` is one cross quadratic form (``u(t, x) @ aq``, same MXU cost
-    as the logits) plus the tiny ``t @ bq`` term; both mixtures reuse
-    :func:`_select_contract`.
+    This kernel emits the per-row weights ``(p, dp)``: the logits
+    recompute plus one cross quadratic form ``u(t, x) @ aq`` (same MXU
+    cost) for the directional logit derivatives ``g``. The A-mixtures
+    live in stage 2 (:func:`_hvp_marg_mix_kernel`) — holding the
+    ``aq`` scoring panels AND the ``aqt`` mixture panels in one kernel
+    blows the 16 MB scoped-VMEM limit (~20 MB at any tile size).
     """
     if mode == "split3":
         (x_ref, t_ref, values_ref, aq_hi_ref, aq_lo_ref, bq_ref,
-         const2_ref, aqt_hi_ref, aqt_lo_ref, bqt_ref, dx_ref) = refs
+         const2_ref, p_ref, dp_ref) = refs
         aq_refs = (aq_hi_ref, aq_lo_ref)
     else:
         (x_ref, t_ref, values_ref, aq_ref, bq_ref, const2_ref,
-         aqt_hi_ref, aqt_lo_ref, bqt_ref, dx_ref) = refs
+         p_ref, dp_ref) = refs
         aq_refs = (aq_ref,)
 
     x = x_ref[:]
@@ -430,8 +442,17 @@ def _hvp_marg_kernel(*refs, mode):
     # padded components carry p = 0 (their const2 is -inf), so their
     # (zero-buffer) g values drop out of every term below
     gbar = jnp.sum(p * g, axis=1, keepdims=True)
-    dp = p * (g - gbar)
+    p_ref[:] = p
+    dp_ref[:] = p * (g - gbar)
 
+
+def _hvp_marg_mix_kernel(x_ref, t_ref, p_ref, dp_ref, aqt_hi_ref,
+                         aqt_lo_ref, bqt_ref, dx_ref):
+    """Stage 2 of the marginalise HVP: the two A-mixtures."""
+    x = x_ref[:]
+    t = t_ref[:]
+    p = p_ref[:]
+    dp = dp_ref[:]
     p_hi = p.astype(jnp.bfloat16)
     p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     dp_hi = dp.astype(jnp.bfloat16)
@@ -512,16 +533,40 @@ def _unit_marg_pallas(interpret, mode, x, values2, *buffers):
 
 def _hvp_marg_pallas(interpret, mode, t, x, values2, *buffers):
     n_pad, d = x.shape
-    row_spec, col_spec = _row_specs(_TILE_HVP_MARG, d)
-    return pl.pallas_call(
-        partial(_hvp_marg_kernel, mode=mode),
-        grid=(n_pad // _TILE_HVP_MARG,),
+    *aq_buffers, aqt_hi, aqt_lo, bqt = buffers
+    k_pad = aqt_hi.shape[0]
+    tile = _TILE_HVP_MARG
+    row_spec, col_spec = _row_specs(tile, d)
+    k_spec = pl.BlockSpec((tile, k_pad), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_HVP_MARG
+        )
+    p, dp = pl.pallas_call(
+        partial(_hvp_marg_weights_kernel, mode=mode),
+        grid=(n_pad // tile,),
         in_specs=[row_spec, row_spec, col_spec,
-                  *[_full(b) for b in buffers]],
+                  *[_full(b) for b in aq_buffers]],
+        out_specs=[k_spec, k_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(x, t, values2, *aq_buffers)
+    return pl.pallas_call(
+        _hvp_marg_mix_kernel,
+        grid=(n_pad // tile,),
+        in_specs=[row_spec, row_spec, k_spec, k_spec,
+                  _full(aqt_hi), _full(aqt_lo), _full(bqt)],
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         interpret=interpret,
-    )(x, t, values2, *buffers)
+        compiler_params=compiler_params,
+    )(x, t, p, dp, aqt_hi, aqt_lo, bqt)
 
 
 @_unit_marg_pallas.defjvp

@@ -84,19 +84,18 @@ def main():
             "fwd_ms": round(timeit(fwd, x, iters=args.iters), 3),
             "fwd_grad_ms": round(timeit(grad, x, iters=args.iters), 3),
         }
-        if not marg:
-            hvp = jax.jit(
-                lambda x, t, p=precision: jax.jvp(
-                    jax.grad(
-                        lambda y: gmm_score_pallas(
-                            y, *pallas_args, False, p, marg
-                        )[0].sum()
-                    ),
-                    (x,),
-                    (t,),
-                )[1]
-            )
-            row["hvp_ms"] = round(timeit(hvp, x, ones, iters=args.iters), 3)
+        hvp = jax.jit(
+            lambda x, t, p=precision: jax.jvp(
+                jax.grad(
+                    lambda y: gmm_score_pallas(
+                        y, *pallas_args, False, p, marg
+                    )[0].sum()
+                ),
+                (x,),
+                (t,),
+            )[1]
+        )
+        row["hvp_ms"] = round(timeit(hvp, x, ones, iters=args.iters), 3)
         results[name] = row
         print(name, row, flush=True)
 
