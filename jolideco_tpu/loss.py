@@ -16,6 +16,8 @@ Two deliberate deviations from reference quirks (SURVEY.md §3.4):
   ``loss.py:40-49,126-133``).
 """
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -293,9 +295,6 @@ class TotalLoss:
 
         ones = tuple(jnp.ones_like(flux) for flux in fluxes)
 
-        def f(flux_tuple):
-            return self(flux_tuple, key=key)
-
         # The Pallas scorer supports forward-over-reverse directly for
         # both reductions via nested custom_jvp rules (MAP: the argmax
         # is piecewise constant, HVP = -t A_{k*}; marginalise: a
@@ -307,6 +306,8 @@ class TotalLoss:
         # future kernel without second order (NotImplementedError —
         # re-trace with the fully differentiable XLA scan scorer).
         from contextlib import ExitStack
+
+        from .config import gmm_precision, use_fused, use_pallas
 
         stages = (
             {},
@@ -321,8 +322,20 @@ class TotalLoss:
                         stack.enter_context(force_fused(stage["fused"]))
                     if "pallas" in stage:
                         stack.enter_context(force_pallas(stage["pallas"]))
-                    _, hvp = jax.jvp(
-                        jax.grad(f), (tuple(fluxes),), (ones,)
+                    # jit the whole probe: eager op-by-op dispatch of
+                    # jvp-of-grad compiles each FFT/transpose op
+                    # standalone, which both recompiles per probe and
+                    # hits backend ops that only lower inside a fused
+                    # program; the trace-time fallback exceptions below
+                    # still fire during jit tracing. The dispatch
+                    # globals are read at trace time, so they enter the
+                    # (module-level, reusable) jit cache as a static
+                    # config token.
+                    config_token = (
+                        use_fused(), use_pallas(), str(gmm_precision())
+                    )
+                    hvp = _hvp_probe_jit(
+                        self, tuple(fluxes), ones, key, config_token
                     )
                 return hvp
             except TypeError as err:
@@ -373,3 +386,22 @@ register_pytree(
     aux_attrs=("beta",),
     defaults={"_trace": None},
 )
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _hvp_probe_jit(total, flux_tuple, tangents, key, config_token):
+    """Jitted forward-over-reverse Hessian probe.
+
+    ``total`` is a registered pytree, so the loss state (counts, kernel
+    FFTs — 100s of MB at benchmark scale) enters as arguments rather
+    than baked-in trace constants. ``config_token`` carries the
+    trace-time dispatch globals (fused/pallas/precision) into the jit
+    cache key so ``force_pallas``-style context switches retrace
+    instead of reusing an executable compiled for another mode.
+    """
+    del config_token
+
+    def f(ft):
+        return total(ft, key=key)
+
+    return jax.jvp(jax.grad(f), (flux_tuple,), (tangents,))[1]

@@ -45,10 +45,21 @@ class Prior:
         self._key = jax.random.PRNGKey(seed)
 
     def next_key(self):
-        """Advance and return the host-side PRNG key (eager use only)."""
+        """Advance and return the host-side PRNG key.
+
+        Eager calls advance the stored key per call (mimicking the
+        reference's stateful generators). When tracing (e.g. the jitted
+        Hessian probe is handed ``key=None``), the advanced key would be
+        a tracer — storing it on ``self`` leaks it out of the trace, so
+        the stored key is left untouched and every call in that trace
+        derives from the same concrete key (jitted training paths
+        thread keys explicitly instead).
+        """
         if not hasattr(self, "_key") or self._key is None:
             self._key = jax.random.PRNGKey(0)
-        self._key, sub = jax.random.split(self._key)
+        key, sub = jax.random.split(self._key)
+        if not isinstance(key, jax.core.Tracer):
+            self._key = key
         return sub
 
     def parameters(self):

@@ -394,3 +394,39 @@ def test_hessian_diagonals_pallas_path(gmm):
             scale = np.abs(hs).max()
             assert_allclose(hp / scale, hs / scale, atol=2e-4,
                             err_msg=f"marginalize={marginalize}")
+
+
+def test_hessian_diagonals_jitted_probe_no_key(gmm):
+    """hessian_diagonals with key=None and a cycle-spin prior: the
+    probe is jitted (eager op-by-op dispatch recompiles per probe and
+    hit a backend op that only lowers inside a fused program on TPU),
+    so the stateful Prior.next_key fallback must not leak a traced key
+    out of the trace. Finite values and repeat-call stability cover
+    both the leak and the fixed-key-within-trace semantics."""
+    from jolideco_tpu import (
+        FluxComponents,
+        GMMPatchPrior,
+        SpatialFluxComponent,
+    )
+    from jolideco_tpu.data import gauss_and_point_sources_gauss_psf
+    from jolideco_tpu.loss import PoissonLoss, PriorLoss, TotalLoss
+
+    rs = np.random.RandomState(642020)
+    datasets = {"obs": gauss_and_point_sources_gauss_psf(random_state=rs)}
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=rs.gamma(20, size=(32, 32)),
+        prior=GMMPatchPrior(gmm=gmm, cycle_spin=True),
+    )
+    total = TotalLoss(
+        poisson_loss=PoissonLoss.from_datasets(
+            datasets=datasets, components=components
+        ),
+        prior_loss=PriorLoss(priors=components.priors),
+    )
+    fluxes = components.to_flux_tuple()
+
+    hvp = total.hessian_diagonals(fluxes, key=None)
+    assert all(np.isfinite(np.asarray(h)).all() for h in hvp)
+    errors = total.fluxes_error(fluxes=fluxes, key=None)
+    assert np.isfinite(np.asarray(errors["flux"])).all()
