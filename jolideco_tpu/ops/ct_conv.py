@@ -42,6 +42,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .splitfp import bf16_round
+
 __all__ = [
     "ct_conv_shape",
     "ct_factor",
@@ -217,9 +219,12 @@ def _split_mm(spec, x, hi, lo):
     """Split-float einsum: 3 bf16 MXU passes, ~2^-16 relative.
 
     Operands are bf16-rounded f32 (see :func:`_parts_np`), so the
-    TPU's DEFAULT-precision operand truncation is lossless.
+    TPU's DEFAULT-precision operand truncation is lossless. The x-side
+    split must go through :func:`ops.splitfp.bf16_round` — a plain
+    astype round-trip is elided by XLA's excess-precision pass and
+    zeroes ``x_lo`` (measured 2.4e-3 conv error instead of ~1e-5).
     """
-    x_hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    x_hi = bf16_round(x)
     x_lo = x - x_hi
     mm = partial(jnp.einsum, spec,
                  preferred_element_type=jnp.float32)

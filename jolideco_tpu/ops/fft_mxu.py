@@ -29,6 +29,8 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
+from .splitfp import bf16_round
+
 __all__ = [
     "DFTConvPlan",
     "mxu_conv_shape",
@@ -98,7 +100,7 @@ def _split_mm(contract, a, b_hi, b_lo):
     from three DEFAULT-precision MXU passes (bf16 products of
     bf16-representable operands are exact; only the lo*lo term is
     dropped, ~2^-16 relative)."""
-    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_hi = bf16_round(a)
     a_lo = a - a_hi
     return contract(a_hi, b_hi) + contract(a_lo, b_hi) + contract(a_hi, b_lo)
 
@@ -137,8 +139,8 @@ def _matrix_parts(tables, name):
     m = tables[name]
     re = jnp.real(m).astype(jnp.float32)
     im = jnp.imag(m).astype(jnp.float32)
-    re_hi = re.astype(jnp.bfloat16).astype(jnp.float32)
-    im_hi = im.astype(jnp.bfloat16).astype(jnp.float32)
+    re_hi = bf16_round(re)
+    im_hi = bf16_round(im)
     return {
         "re": re, "im": im,
         "re_hi": re_hi, "re_lo": re - re_hi,

@@ -459,3 +459,25 @@ def test_stacked_ct_conv_compiled_matches_fft():
     g_ct = np.asarray(gr(ct_loss, fluxes[0]))
     scale = np.abs(g_fft).max()
     assert_allclose(g_ct / scale, g_fft / scale, atol=3e-4)
+
+
+@requires_device("tpu")
+def test_bf16_round_survives_xla_excess_precision():
+    """The compiled bf16 rounding must match host-side rounding.
+
+    XLA's excess-precision pass elides naive f32->bf16->f32 convert
+    pairs on TPU, which zeroes split-float compensation operands (the
+    round-3 CT-conv gradient regression); `ops.splitfp.bf16_round`
+    pins the narrowing with an optimization_barrier.
+    """
+    from jolideco_tpu.ops.splitfp import bf16_round
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(64, 64).astype(np.float32)
+    )
+    compiled = np.asarray(jax.jit(bf16_round)(x))
+    host = np.asarray(x).astype(jnp.bfloat16).astype(np.float32)
+    assert np.array_equal(compiled, host)
+    # the residual actually feeds a nonzero MXU compensation pass
+    lo = np.asarray(jax.jit(lambda z: z - bf16_round(z))(x))
+    assert np.abs(lo).max() > 0.0
