@@ -260,22 +260,42 @@ class MAPDeconvolver:
             from .parallel.stacked import StackedPoissonLoss
 
             try:
+                # a mesh with a "row" axis requests 2-D spatial
+                # sharding: build with a row-compatible FFT shape and
+                # place through shard_stacked_spatial (pencil-FFT path)
+                row_shards = (
+                    int(self.mesh.shape["row"])
+                    if self.mesh is not None
+                    and "row" in self.mesh.axis_names
+                    else None
+                )
                 poisson = StackedPoissonLoss.from_datasets(
                     datasets=datasets, components=components,
                     calibrations=calibrations, conv_mode=self.conv_mode,
+                    row_shards=row_shards,
                 )
                 poisson_validation = None
                 if datasets_validation:
                     poisson_validation = StackedPoissonLoss.from_datasets(
                         datasets=datasets_validation, components=components,
                         calibrations=calibrations, conv_mode=self.conv_mode,
+                        row_shards=row_shards,
                     )
                 if self.mesh is not None:
-                    poisson = poisson.shard(self.mesh)
-                    if poisson_validation is not None:
-                        poisson_validation = poisson_validation.shard(
-                            self.mesh
-                        )
+                    if row_shards:
+                        from .parallel.spatial import shard_stacked_spatial
+
+                        poisson = shard_stacked_spatial(poisson, self.mesh)
+                        if poisson_validation is not None:
+                            poisson_validation = shard_stacked_spatial(
+                                poisson_validation, self.mesh
+                            )
+                    else:
+                        poisson = poisson.shard(self.mesh)
+                        if poisson_validation is not None:
+                            poisson_validation = poisson_validation.shard(
+                                self.mesh
+                            )
                 return TotalLoss(
                     poisson_loss=poisson,
                     prior_loss=PriorLoss(priors=components.priors),

@@ -9,3 +9,4 @@ evaluation is vmapped, and the stacked arrays are sharded over an
 from .mesh import make_obs_mesh, shard_stacked  # noqa: F401
 from .stacked import StackedPoissonLoss  # noqa: F401
 from .spatial import make_obs_row_mesh, shard_stacked_spatial  # noqa: F401
+from ..ops.dist_fft import spatial_fft_shape  # noqa: F401

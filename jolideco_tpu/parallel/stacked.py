@@ -63,7 +63,8 @@ class StackedPoissonLoss:
                  dft_tables=None, mxu_fft_shape=None, pair_kernels=None,
                  ct_tables=None, ct_fft_shape=None, ct_pair_kernels=None,
                  ct_singles=None,
-                 sharded=False, static_shifts=None, static_log_norms=None):
+                 sharded=False, static_shifts=None, static_log_norms=None,
+                 spatial_mesh=None, row_axis="row"):
         self.counts = counts
         self.background = background
         self.exposures = dict(exposures)
@@ -102,6 +103,10 @@ class StackedPoissonLoss:
         )
         self.ct_singles = dict(ct_singles) if ct_singles else None
         self.sharded = bool(sharded)
+        # 2-D (obs, row) mesh for the distributed-FFT conv path
+        # (set by parallel.spatial.shard_stacked_spatial)
+        self.spatial_mesh = spatial_mesh
+        self.row_axis = str(row_axis)
         # per-observation calibration values used when a calibration is
         # (partially) frozen and therefore absent from the params pytree
         self.static_shifts = static_shifts
@@ -123,11 +128,18 @@ class StackedPoissonLoss:
     @classmethod
     def from_datasets(cls, datasets, components, calibrations=None,
                       fft_shape=None, conv_mode="fft",
-                      correct_exposure_edges=True):
+                      correct_exposure_edges=True, row_shards=None):
         """Stack homogeneous datasets into batched device arrays.
 
         Ragged PSF sizes are padded into one FFT shape; raises if the
         image shapes themselves differ (use the sequential path then).
+
+        ``row_shards`` (with ``conv_mode="fft"`` and no explicit
+        ``fft_shape``) grows the auto-computed FFT width until the
+        half-spectrum divides over that many row shards, so the loss
+        can be placed on a 2-D ``(obs, row)`` mesh with
+        ``shard_stacked_spatial`` (the pencil-FFT path's all-to-all
+        splits ``Fw // 2 + 1`` columns across the ``row`` axis).
 
         ``conv_mode="direct"`` additionally keeps the (flipped, padded)
         spatial PSF stack and runs the forward through
@@ -200,9 +212,13 @@ class StackedPoissonLoss:
                     max(s[1] for s in up_shapes),
                 )
                 if common_fft_shape is None:
+                    fw = image_shape[1] + kmax[1] - 1
+                    if row_shards and conv_mode == "fft":
+                        while (fw // 2 + 1) % row_shards:
+                            fw += 1
                     common_fft_shape = (
                         image_shape[0] + kmax[0] - 1,
-                        image_shape[1] + kmax[1] - 1,
+                        fw,
                     )
                 min_shape = (
                     image_shape[0] + kmax[0] - 1,
@@ -568,6 +584,8 @@ class StackedPoissonLoss:
         ``shard`` drops the pair kernels and the per-observation vmap
         lets GSPMD partition one observation per device.
         """
+        if self.conv_mode == "fft" and self.spatial_mesh is not None:
+            return self._evaluate_spatial_fft(fluxes, calibration_params)
         if (
             self.conv_mode == "fft"
             and self.pair_kernels is not None
@@ -635,6 +653,57 @@ class StackedPoissonLoss:
                     x[-1], self.psf_ffts[name][-1], fft_shape
                 )
                 y = jnp.concatenate([y, tail[None]], axis=0)
+            y = sum_pool(y, factor)
+            npred = npred + jnp.clip(y, 0.0, None)
+
+        if log_norms is not None:
+            norm = jnp.exp(log_norms).reshape(
+                (n,) + (1,) * (self.background.ndim - 1)
+            )
+            npred = npred + self.background * norm
+        else:
+            npred = npred + self.background
+
+        return jax.vmap(self.loss_function)(
+            npred, self.counts, stirling=self.stirling
+        )
+
+    def _evaluate_spatial_fft(self, fluxes, calibration_params):
+        """Batched forward with the row-sharded pencil-FFT convolution.
+
+        Used on 2-D ``(obs, row)`` meshes (``shard_stacked_spatial``
+        with ``conv_mode="fft"``): everything here is elementwise or a
+        reduction GSPMD partitions on its own; the convolution routes
+        through ``ops.dist_fft.dist_convolve_fft``, whose two
+        all-to-alls are the only cross-row communication.
+        """
+        from ..ops.dist_fft import dist_convolve_fft
+
+        n = self.counts.shape[0]
+        if self.has_calibration:
+            shifts, log_norms = self._stack_calibration_params(
+                calibration_params
+            )
+        else:
+            shifts = None
+            log_norms = None
+
+        npred = jnp.zeros_like(self.background)
+        for idx, name in enumerate(self.component_names):
+            flux = fluxes[idx]
+            factor = self.component_factors[idx]
+            exposure = self.exposures[name]            # (N, 1, C, H', W')
+            if shifts is not None:
+                x = jax.vmap(
+                    lambda s: shift_image(flux, s, scale=factor)
+                )(shifts)
+            else:
+                x = flux[None]
+            x = x * exposure
+            y = dist_convolve_fft(
+                x, self.psf_ffts[name], self.fft_shape,
+                self.spatial_mesh, self.row_axis,
+            )
             y = sum_pool(y, factor)
             npred = npred + jnp.clip(y, 0.0, None)
 
@@ -734,5 +803,7 @@ register_pytree(
         "_weights",
         "psf_scales",
         "sharded",
+        "spatial_mesh",
+        "row_axis",
     ),
 )

@@ -340,6 +340,40 @@ def test_joint_training_sharded_matches_unsharded(datasets):
     )
 
 
+def test_joint_training_on_2d_mesh_matches_unsharded(datasets):
+    """MAPDeconvolver(mesh=obs x row) trains through the row-sharded
+    pencil-FFT conv end-to-end and matches unsharded training."""
+    from jolideco_tpu.parallel import make_obs_row_mesh
+
+    def build_components():
+        rs = np.random.RandomState(642020)
+        flux_init = rs.gamma(20, size=(32, 32))
+        components = FluxComponents()
+        components["flux-1"] = SpatialFluxComponent.from_numpy(
+            flux=flux_init, prior=UniformPrior()
+        )
+        return components
+
+    deco_sharded = MAPDeconvolver(
+        n_epochs=20, learning_rate=0.1, display_progress=False,
+        update_strategy="joint", mesh=make_obs_row_mesh(2, 4),
+    )
+    deco_plain = MAPDeconvolver(
+        n_epochs=20, learning_rate=0.1, display_progress=False,
+        update_strategy="joint",
+    )
+
+    r_sharded = deco_sharded.run(
+        datasets=datasets, components=build_components()
+    )
+    r_plain = deco_plain.run(datasets=datasets, components=build_components())
+
+    assert_allclose(r_sharded.flux_total, r_plain.flux_total, rtol=1e-4)
+    assert_allclose(
+        r_sharded.trace_loss["total"], r_plain.trace_loss["total"], rtol=1e-4
+    )
+
+
 def test_spatial_sharding_matches_single_device(datasets, components):
     """2-D (obs x row) mesh: image-axis sharding with the matmul-DFT
     convolution (the FFT op rejects resharded layouts — see
@@ -362,6 +396,64 @@ def test_spatial_sharding_matches_single_device(datasets, components):
         jax.grad(lambda f, s=sharded: jnp.sum(s.evaluate((f,))))
     )(fluxes[0])
     assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-6)
+
+
+def test_spatial_sharding_fft_matches_single_device(datasets, components):
+    """2-D (obs x row) mesh with conv_mode='fft': the row-sharded
+    pencil-FFT convolution (ops.dist_fft) — values and gradients match
+    the single-device FFT path."""
+    from jolideco_tpu.parallel import make_obs_row_mesh, shard_stacked_spatial
+
+    # discover the minimal conv shape, then grow the width until the
+    # half-spectrum divides over the 4 row shards
+    probe = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fh, fw = probe.fft_shape
+    while (fw // 2 + 1) % 4:
+        fw += 1
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, fft_shape=(fh, fw)
+    )
+    fluxes = components.to_flux_tuple()
+    expected = np.asarray(jax.jit(stacked.evaluate)(fluxes))
+
+    mesh = make_obs_row_mesh(2, 4)
+    sharded = shard_stacked_spatial(stacked, mesh)
+    assert sharded.spatial_mesh is mesh
+    got = np.asarray(jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes))
+    assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+    g1 = jax.grad(lambda f: jnp.sum(stacked.evaluate((f,))))(fluxes[0])
+    g2 = jax.jit(
+        jax.grad(lambda f, s=sharded: jnp.sum(s.evaluate((f,))))
+    )(fluxes[0])
+    assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
+
+
+def test_spatial_sharding_fft_requires_divisible_spectrum(
+    datasets, components
+):
+    """An FFT shape whose half-spectrum does not divide over the row
+    shards must be rejected at shard time with the fix spelled out."""
+    from jolideco_tpu.parallel import make_obs_row_mesh, shard_stacked_spatial
+
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fwh = stacked.fft_shape[1] // 2 + 1
+    mesh = make_obs_row_mesh(2, 4)
+    if fwh % 4 == 0:
+        pytest.skip("fixture spectrum happens to divide; nothing to test")
+    with pytest.raises(ValueError, match="spatial_fft_shape"):
+        shard_stacked_spatial(stacked, mesh)
+
+
+def test_spatial_fft_shape_helper():
+    from jolideco_tpu.ops.dist_fft import spatial_fft_shape
+
+    fh, fw = spatial_fft_shape((32, 32), (9, 9), 4)
+    assert fh == 40 and fw >= 40 and (fw // 2 + 1) % 4 == 0
 
 
 def test_joint_training_with_gmm_sharded(datasets):
