@@ -295,7 +295,7 @@ convolve_fft_packed_pair.defvjp(
 
 
 @partial(jax.jit, static_argnames=("factor", "out_shape"))
-def upsample_center_pad_kernels(kernels, *, factor, out_shape):
+def upsample_center_pad_kernels(kernels, *, factor, out_shape, scales=None):
     """Upsample a same-size kernel stack and center-pad to ``out_shape``.
 
     Batched device twin of the reference's per-PSF build preprocessing
@@ -307,11 +307,22 @@ def upsample_center_pad_kernels(kernels, *, factor, out_shape):
     stack embeds into the FFT grid identically to per-kernel
     origin-centered embedding (:func:`_origin_centered` with the common
     center then places every original center at (0, 0)).
+
+    ``scales`` (per-observation array, optional) applies the static
+    ``psf_scale`` calibration zoom to each *upsampled, unpadded* kernel
+    — the same operand order as the per-dataset forward (reference
+    ``models/npred.py:178``: rescale the stored upsampled PSF), so the
+    stacked build bakes the zoom into the precomputed spectra exactly.
     """
-    from .image import upsample_bilinear
+    from .image import rescale_image, upsample_bilinear
 
     if factor and factor > 1:
         kernels = upsample_bilinear(kernels, factor) / factor**2
+    if scales is not None:
+        # zoom before padding: rescale_image is shape-preserving and
+        # zooms about the (kh-1)/2 kernel center, which padding would
+        # move off-center for mixed even/odd parities
+        kernels = jax.vmap(rescale_image)(kernels, scales)
     kh, kw = kernels.shape[-2], kernels.shape[-1]
     top = (out_shape[0] - 1) // 2 - (kh - 1) // 2
     left = (out_shape[1] - 1) // 2 - (kw - 1) // 2
@@ -327,7 +338,7 @@ def upsample_center_pad_kernels(kernels, *, factor, out_shape):
     static_argnames=("factor", "fft_shape", "correct_edges", "n_pairs"),
 )
 def build_kernel_stack(kernels, exposures, *, factor, fft_shape,
-                       correct_edges, n_pairs):
+                       correct_edges, n_pairs, conv_kernels=None):
     """One-dispatch device build of the stacked convolution operators.
 
     Replaces the host-side (numpy FFT) per-observation build loop: at
@@ -354,6 +365,13 @@ def build_kernel_stack(kernels, exposures, *, factor, fft_shape,
     n_pairs : int
         Number of observation pairs to pack into full-spectrum complex
         kernels for :func:`convolve_fft_packed_pair` (0 disables).
+    conv_kernels : array like ``kernels``, optional
+        Kernels to use for the *convolution* spectra (kft and pair
+        spectra) when they differ from ``kernels`` — the ``psf_scale``
+        calibration case. The exposure edge correction always uses the
+        unscaled ``kernels``, matching the per-dataset build order
+        (reference ``models/npred.py:108-113`` corrects edges before
+        any ``psf_scale`` is applied at ``:178``).
 
     Returns
     -------
@@ -369,7 +387,9 @@ def build_kernel_stack(kernels, exposures, *, factor, fft_shape,
     if factor and factor > 1:
         exposures = upsample_bilinear(exposures, factor)
 
-    embedded = _origin_centered(kernels, fft_shape)
+    embedded = _origin_centered(
+        kernels if conv_kernels is None else conv_kernels, fft_shape
+    )
     kft = jnp.fft.rfft2(embedded, s=fft_shape)
 
     if correct_edges:
@@ -377,7 +397,15 @@ def build_kernel_stack(kernels, exposures, *, factor, fft_shape,
         ones_ft = jnp.fft.rfft2(
             jnp.ones((h, w), exposures.dtype), s=fft_shape
         )
-        weights = jnp.fft.irfft2(ones_ft * kft, s=fft_shape)[..., :h, :w]
+        edge_kft = (
+            kft
+            if conv_kernels is None
+            else jnp.fft.rfft2(_origin_centered(kernels, fft_shape),
+                               s=fft_shape)
+        )
+        weights = jnp.fft.irfft2(
+            ones_ft * edge_kft, s=fft_shape
+        )[..., :h, :w]
         exposures = exposures / weights
 
     pair_a = pair_b = None

@@ -35,7 +35,12 @@ from ..ops.fft import (
     kernel_fft_numpy,
     upsample_center_pad_kernels,
 )
-from ..ops.image import shift_image, sum_pool, upsample_bilinear
+from ..ops.image import (
+    rescale_image,
+    shift_image,
+    sum_pool,
+    upsample_bilinear,
+)
 from ..utils.pytree import register_pytree
 
 log = logging.getLogger(__name__)
@@ -52,6 +57,15 @@ class StackedPoissonLoss:
     background : ``(N, 1, C, H, W)``
     exposures : dict of component name -> ``(N, 1, C, H', W')``
     psf_ffts : dict of component name -> complex ``(N, 1, C, fh, fw)``
+
+    Notes
+    -----
+    The static ``psf_scale`` calibration (reference
+    ``models/npred.py:178``, non-trainable per ``:333``) is applied at
+    *build time*: :meth:`from_datasets` zooms each observation's
+    upsampled PSF before precomputing the convolution spectra (all conv
+    modes), so every evaluate path sees the scaled kernel with no
+    per-step warp. ``psf_scales`` is retained for introspection only.
     """
 
     loss_function = staticmethod(poisson_nll)
@@ -156,6 +170,30 @@ class StackedPoissonLoss:
                 f"{shapes}"
             )
 
+        # calibrations first: the static psf_scale zoom must be baked
+        # into the precomputed convolution spectra below (the reference
+        # applies it every forward, models/npred.py:178; it is
+        # non-trainable, npred.py:333, so build-time is equivalent)
+        has_calibration = bool(calibrations)
+        weights = None
+        psf_scales = None
+        static_shifts = None
+        static_log_norms = None
+        scale_values = None
+        if calibrations:
+            weights = [calibrations[n].weight for n in names]
+            psf_scales = [calibrations[n].psf_scale_value for n in names]
+            if any(float(s) != 1.0 for s in psf_scales):
+                scale_values = np.asarray(psf_scales, np.float32)
+            static_shifts = jnp.asarray(
+                np.stack([np.asarray(calibrations[n].shift_xy)
+                          for n in names])
+            )
+            static_log_norms = jnp.asarray(
+                np.stack([np.asarray(calibrations[n]._background_norm)
+                          for n in names])
+            )
+
         # stack raw 2-D arrays and add the broadcast dims as a reshape:
         # np.stack over pre-expanded (1, 1, H, W) views hits a slow
         # numpy path (~12x, measured)
@@ -237,28 +275,38 @@ class StackedPoissonLoss:
 
                 # ragged PSF sizes: upsample + center-pad per shape
                 # group on device, then restore observation order
-                by_shape = {}
-                for idx, psf in enumerate(raw_psfs):
-                    by_shape.setdefault(psf.shape[-2:], []).append(idx)
-                if len(by_shape) == 1:
-                    psfs_common = upsample_center_pad_kernels(
-                        jnp.asarray(np.stack(raw_psfs)[:, None, None]),
-                        factor=factor,
-                        out_shape=kmax,
-                    )
-                else:
+                def padded_stack(scales):
+                    by_shape = {}
+                    for idx, psf in enumerate(raw_psfs):
+                        by_shape.setdefault(psf.shape[-2:], []).append(idx)
                     groups, order = [], []
-                    for shape, idxs in by_shape.items():
+                    for idxs in by_shape.values():
                         order.extend(idxs)
+                        group_scales = (
+                            None if scales is None
+                            else jnp.asarray(scales[idxs])
+                        )
                         groups.append(upsample_center_pad_kernels(
                             jnp.asarray(np.stack(
                                 [raw_psfs[i] for i in idxs]
                             )[:, None, None]),
                             factor=factor,
                             out_shape=kmax,
+                            scales=group_scales,
                         ))
+                    if len(groups) == 1:
+                        return groups[0]
                     inverse = np.argsort(order)
-                    psfs_common = jnp.concatenate(groups)[inverse]
+                    return jnp.concatenate(groups)[inverse]
+
+                psfs_common = padded_stack(None)
+                # psf_scale calibrations: the convolution spectra come
+                # from the zoomed kernels; exposure edge correction
+                # keeps the unscaled ones (per-dataset build parity)
+                psfs_conv = (
+                    padded_stack(scale_values)
+                    if scale_values is not None else None
+                )
 
                 n_obs = len(raw_psfs)
                 n_pairs = (
@@ -271,6 +319,7 @@ class StackedPoissonLoss:
                     fft_shape=common_fft_shape,
                     correct_edges=correct_exposure_edges,
                     n_pairs=n_pairs,
+                    conv_kernels=psfs_conv,
                 )
                 exposures[name] = exp_stack
                 psf_ffts[name] = kft
@@ -305,7 +354,8 @@ class StackedPoissonLoss:
                             f"vs {ct_shape_common}"
                         )
                     embedded = _origin_centered(
-                        psfs_common, ct_shape_common
+                        psfs_common if psfs_conv is None else psfs_conv,
+                        ct_shape_common,
                     )
                     if n_obs >= 2:
                         ct_pairs[name] = ct_build_pair_spectra(
@@ -318,7 +368,7 @@ class StackedPoissonLoss:
             # mxu/direct modes: build-time preprocessing stays
             # host-side (numpy); these run once per dataset build
             exp_list, psf_list = [], []
-            for dataset in datasets.values():
+            for obs_idx, dataset in enumerate(datasets.values()):
                 psf = dataset["psf"]
                 if isinstance(psf, dict):
                     psf = psf[name]
@@ -339,12 +389,24 @@ class StackedPoissonLoss:
                     )
 
                 if correct_exposure_edges:
-                    # edge correction (reference npred.py:108-113)
+                    # edge correction (reference npred.py:108-113),
+                    # always with the UNSCALED psf (per-dataset parity)
                     weights_im = convolve_fft_numpy(
                         np.ones_like(exposure), psf
                     )
                     exposure = np.asarray(
                         exposure / weights_im, np.float32
+                    )
+
+                if (scale_values is not None
+                        and float(scale_values[obs_idx]) != 1.0):
+                    # static psf_scale zoom on the upsampled kernel
+                    # (reference npred.py:178)
+                    psf = np.asarray(
+                        rescale_image(
+                            jnp.asarray(psf), float(scale_values[obs_idx])
+                        ),
+                        np.float32,
                     )
 
                 exp_list.append(exposure)
@@ -422,23 +484,6 @@ class StackedPoissonLoss:
                     ].set(psf)
                     padded.append(pad[..., ::-1, ::-1])
                 psfs[name] = jnp.stack(padded)
-
-        has_calibration = bool(calibrations)
-        weights = None
-        psf_scales = None
-        static_shifts = None
-        static_log_norms = None
-        if calibrations:
-            weights = [calibrations[n].weight for n in names]
-            psf_scales = [calibrations[n].psf_scale_value for n in names]
-            static_shifts = jnp.asarray(
-                np.stack([np.asarray(calibrations[n].shift_xy)
-                          for n in names])
-            )
-            static_log_norms = jnp.asarray(
-                np.stack([np.asarray(calibrations[n]._background_norm)
-                          for n in names])
-            )
 
         return cls(
             counts=counts,
