@@ -336,14 +336,22 @@ class MAPDeconvolver:
         trace_every_epoch = trace_every == 1 or self.stop_early
 
         def loss_for_dataset(params, components, total_loss, idx, key):
+            # The per-dataset likelihood weight multiplies the training
+            # objective in BOTH update strategies (deviation from the
+            # reference, where NPredCalibration.weight is a training
+            # no-op: reference core.py:221 calls the raw loss_function,
+            # and the weighted PoissonLoss.__call__ at loss.py:126-133
+            # is never reached from the loop). Summed over an epoch the
+            # sequential objective matches the joint one.
             fluxes = components.fluxes_from(params.get("components"))
             loss = total_loss.poisson_loss.evaluate_dataset(
                 idx, fluxes, params.get("calibrations")
             )
+            weight = total_loss.poisson_loss.weights[idx]
             loss_prior = total_loss.prior_loss(
                 fluxes, params=params.get("components"), key=key
             )
-            return loss - beta * loss_prior / n_datasets
+            return weight * loss - beta * loss_prior / n_datasets
 
         def loss_joint(params, components, total_loss, key):
             # One step on the weighted sum of all dataset losses; the

@@ -6,14 +6,20 @@ loss objects are registered pytrees holding the static per-dataset data
 arguments; all evaluation paths are traceable given an explicit params
 pytree and PRNG keys.
 
-Two deliberate deviations from reference quirks (SURVEY.md §3.4):
+Three deliberate deviations from reference quirks (SURVEY.md §3.4):
 
 - ``PoissonLoss.evaluate`` keeps per-dataset losses differentiable
   (the reference rebuilds a detached tensor, ``loss.py:71``, silently
   dropping the Poisson term from Hessian-based flux errors);
 - dataset weights default to 1 when no calibrations are present (the
   reference's ``PoissonLoss.__call__`` returns 0 in that case,
-  ``loss.py:40-49,126-133``).
+  ``loss.py:40-49,126-133``);
+- ``NPredCalibration.weight`` actually weights the *training*
+  objective, identically in both update strategies. In the reference
+  it is a training no-op: the loop calls the raw loss function
+  (``core.py:221``) and the weighted ``PoissonLoss.__call__`` only
+  affects Hessian-based errors. The trace still records raw
+  unweighted per-dataset NLLs (reference ``loss.py:212-250`` parity).
 """
 
 from functools import partial
@@ -278,18 +284,34 @@ class TotalLoss:
         self.trace.add_row(host_row)
 
     def __call__(self, fluxes, params=None, key=None, calibration_params=None):
-        """Total loss as a function of the flux tuple (differentiable)."""
+        """Total loss as a function of the flux tuple (differentiable).
+
+        Per-dataset likelihood weights multiply the Poisson terms —
+        the same weighting the training strategies optimise (and the
+        reference's ``TotalLoss.__call__`` applies through
+        ``PoissonLoss.__call__``, ``loss.py:126-133``/``:257-261``).
+        The loss *trace* records raw unweighted NLLs, like the
+        reference's.
+        """
         loss_datasets = self.poisson_loss.evaluate(fluxes, calibration_params)
         loss_priors = self.prior_loss.evaluate(fluxes, params=params, key=key)
-        return jnp.sum(loss_datasets) - self.beta * sum(loss_priors)
+        weights = self.poisson_loss.weights
+        return (
+            jnp.sum(loss_datasets * weights)
+            - self.beta * sum(loss_priors)
+        )
 
-    def hessian_diagonals(self, fluxes, key=None):
+    def hessian_diagonals(self, fluxes, key=None, calibration_params=None):
         """Hessian-vector product of the total loss with a ones vector.
 
         Same probe as the reference (``torch.autograd.functional.vhp``
         with unit vectors, ``loss.py:263-279``) but through the full
         differentiable loss — the reference silently drops the Poisson
-        term (see module docstring).
+        term (see module docstring). ``calibration_params`` (the
+        trained calibration pytree) is threaded explicitly so errors
+        are computed at the trained values by construction, not via
+        the ``set_parameters`` write-back having mutated the stored
+        statics first.
         """
         from .config import force_fused, force_pallas
 
