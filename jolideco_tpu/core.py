@@ -745,8 +745,15 @@ class MAPDeconvolver:
             )
 
         if self.compute_error:
-            fluxes = components.fluxes_from()
-            flux_errors = total_loss.fluxes_error(fluxes=fluxes)
+            # trained values by construction: the flux and calibration
+            # pytrees from the optimiser are threaded explicitly rather
+            # than relying on the set_parameters write-back above
+            # having mutated the stored statics first
+            fluxes = components.fluxes_from(params.get("components"))
+            flux_errors = total_loss.fluxes_error(
+                fluxes=fluxes,
+                calibration_params=params.get("calibrations"),
+            )
             components.set_flux_errors(flux_errors=flux_errors)
 
         config = self.to_dict()

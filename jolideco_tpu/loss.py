@@ -322,20 +322,30 @@ class TotalLoss:
         # is piecewise constant, HVP = -t A_{k*}; marginalise: a
         # dedicated softmax-HVP kernel) — the probe runs on the same
         # kernels as training, no re-trace of the XLA scan scorer.
-        # Trace-time fallbacks remain for the fused image-level scorer
-        # (custom_vjp, no JVP rule; jax raises TypeError — re-trace
-        # with the patch-level kernels) and, defensively, for any
-        # future kernel without second order (NotImplementedError —
+        # The fused image-level scorer is custom_vjp-only (no JVP
+        # rule), so the probe asks each prior up front whether second
+        # order traces for its flux shape under the current dispatch
+        # (``Prior.second_order_ok``, a capability check — never a
+        # string match on JAX error text) and starts with the fused
+        # kernel forced off when any says no. A defensive trace-time
+        # fallback remains for kernels without second order
+        # (NotImplementedError, dispatched on the exception type —
         # re-trace with the fully differentiable XLA scan scorer).
         from contextlib import ExitStack
 
         from .config import gmm_precision, use_fused, use_pallas
 
-        stages = (
+        stages = [
             {},
             {"fused": "off"},
             {"fused": "off", "pallas": "off"},
-        )
+        ]
+        priors = list(self.prior_loss.priors.values())
+        if not all(
+            prior.second_order_ok(tuple(flux.shape))
+            for prior, flux in zip(priors, fluxes)
+        ):
+            stages = stages[1:]
         for i, stage in enumerate(stages):
             last = i == len(stages) - 1
             try:
@@ -348,8 +358,8 @@ class TotalLoss:
                     # jvp-of-grad compiles each FFT/transpose op
                     # standalone, which both recompiles per probe and
                     # hits backend ops that only lower inside a fused
-                    # program; the trace-time fallback exceptions below
-                    # still fire during jit tracing. The dispatch
+                    # program; the trace-time fallback exception below
+                    # still fires during jit tracing. The dispatch
                     # globals are read at trace time, so they enter the
                     # (module-level, reusable) jit cache as a static
                     # config token.
@@ -357,20 +367,20 @@ class TotalLoss:
                         use_fused(), use_pallas(), str(gmm_precision())
                     )
                     hvp = _hvp_probe_jit(
-                        self, tuple(fluxes), ones, key, config_token
+                        self, tuple(fluxes), ones, key, config_token,
+                        calibration_params,
                     )
                 return hvp
-            except TypeError as err:
-                if last or "custom_vjp" not in str(err):
-                    raise
             except NotImplementedError:
                 if last:
                     raise
 
-    def fluxes_error(self, fluxes, key=None):
+    def fluxes_error(self, fluxes, key=None, calibration_params=None):
         """Flux errors ``1 / sqrt(H_diag)`` per component."""
         fluxes_error = {}
-        hessians = self.hessian_diagonals(fluxes=fluxes, key=key)
+        hessians = self.hessian_diagonals(
+            fluxes=fluxes, key=key, calibration_params=calibration_params
+        )
         for name, hessian in zip(self.prior_loss.priors, hessians):
             fluxes_error[name] = jnp.sqrt(1.0 / hessian)
         return fluxes_error
@@ -411,7 +421,8 @@ register_pytree(
 
 
 @partial(jax.jit, static_argnums=(4,))
-def _hvp_probe_jit(total, flux_tuple, tangents, key, config_token):
+def _hvp_probe_jit(total, flux_tuple, tangents, key, config_token,
+                   calibration_params=None):
     """Jitted forward-over-reverse Hessian probe.
 
     ``total`` is a registered pytree, so the loss state (counts, kernel
@@ -420,10 +431,12 @@ def _hvp_probe_jit(total, flux_tuple, tangents, key, config_token):
     trace-time dispatch globals (fused/pallas/precision) into the jit
     cache key so ``force_pallas``-style context switches retrace
     instead of reusing an executable compiled for another mode.
+    ``calibration_params`` (trained calibration pytree or None) enters
+    as a traced argument; the probe differentiates w.r.t. fluxes only.
     """
     del config_token
 
     def f(ft):
-        return total(ft, key=key)
+        return total(ft, key=key, calibration_params=calibration_params)
 
     return jax.jvp(jax.grad(f), (flux_tuple,), (tangents,))[1]

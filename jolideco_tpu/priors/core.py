@@ -62,6 +62,18 @@ class Prior:
             self._key = key
         return sub
 
+    def second_order_ok(self, flux_shape):
+        """Whether forward-over-reverse (jvp-of-grad) traces through
+        this prior for a flux of ``flux_shape`` under the current
+        dispatch config.
+
+        The Hessian probe (``TotalLoss.hessian_diagonals``) consults
+        this capability instead of catching trace-time ``TypeError``
+        text from JAX. Default: plain priors are ordinary JAX code and
+        support second order.
+        """
+        return True
+
     def parameters(self):
         """Trainable hyper-parameters (dict of arrays); default none."""
         return {}

@@ -177,6 +177,18 @@ class GMMPatchPrior(Prior):
             )
         )
 
+    def second_order_ok(self, flux_shape):
+        """Forward-over-reverse capability under the current dispatch.
+
+        The fused image-level scorer is ``custom_vjp``-only (a Pallas
+        backward cannot be transposed again, and it defines no JVP
+        rule), so when it would be selected for this flux shape the
+        Hessian probe must force it off first. The image norm and
+        cycle spins are shape-preserving, so the dispatch shape equals
+        the flux shape.
+        """
+        return not self._fused_ok(tuple(flux_shape))
+
     # ------------------------------------------------------------------
     def _evaluate_log_like(self, flux, params=None, key=None, fused=None):
         """Per-patch log-likelihoods, validity mask and metadata.
@@ -453,6 +465,15 @@ class MultiScalePrior(Prior):
         if "log_weights" in params:
             self._log_weights = jnp.asarray(params["log_weights"])
         self.prior.set_parameters(params.get("prior"))
+
+    def second_order_ok(self, flux_shape):
+        """Second order is available iff the wrapped prior supports it
+        at every downsampled level shape (``avg_pool`` floor-divides)."""
+        h, w = tuple(flux_shape)
+        return all(
+            self.prior.second_order_ok((h // 2**idx, w // 2**idx))
+            for idx in range(self.n_levels)
+        )
 
     def __call__(self, flux, params=None, key=None):
         if key is None:

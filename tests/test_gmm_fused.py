@@ -479,8 +479,11 @@ def test_prior_fused_gating(gmm):
 def test_fused_jvp_raises_and_hessian_falls_back(gmm, flux_image):
     """The fused path cannot be forward-over-reverse differentiated
     (custom_vjp TypeError, or NotImplementedError from JVP-ing the
-    residualised forward kernel); TotalLoss.hessian_diagonals falls
-    back to the patch-level kernels and matches them."""
+    residualised forward kernel); the priors advertise this through
+    ``second_order_ok`` (the capability probe hessian_diagonals
+    dispatches on — no JAX error-text matching), and
+    TotalLoss.hessian_diagonals lands on the patch-level kernels and
+    matches them."""
     from jolideco_tpu import FluxComponents, SpatialFluxComponent
     from jolideco_tpu.data import point_source_gauss_psf
     from jolideco_tpu.loss import PoissonLoss, PriorLoss, TotalLoss
@@ -490,6 +493,14 @@ def test_fused_jvp_raises_and_hessian_falls_back(gmm, flux_image):
     key = jax.random.PRNGKey(2)
 
     with config.force_pallas("interpret"):
+        # capability probe: fused would dispatch here, and it has no
+        # JVP rule — second_order_ok must say so (and flip back once
+        # the fused kernel is off)
+        assert prior._fused_ok(flux.shape)
+        assert not prior.second_order_ok(flux.shape)
+        with config.force_fused("off"):
+            assert prior.second_order_ok(flux.shape)
+
         def f(x):
             return prior(x, key=key)
 
