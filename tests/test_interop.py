@@ -20,6 +20,7 @@ Reference writers being mirrored:
 
 import hashlib
 import struct
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -345,3 +346,81 @@ def test_asdf_lite_reads_asdf_package(tmp_path):
     tree = read_asdf(path)
     assert_allclose(np.asarray(tree["flux"]), arr)
     assert tree["meta"]["beta"] == pytest.approx(3.0)
+
+
+# ----------------------------------------------------------------------
+# checked-in foreign-convention fixtures (ALWAYS run)
+#
+# tests/data/interop/ holds two small binaries laid out exactly as the
+# foreign writers emit them (regenerate with make_fixtures.py — it uses
+# the real astropy/asdf when installed, else crafts the same layouts
+# from the specs). These pin the read-their-bytes direction in every
+# environment, including ones without the interop extra; the gated
+# tests above additionally prove live round-trips when the libraries
+# are present.
+
+FIXTURE_DIR = Path(__file__).parent / "data" / "interop"
+
+
+def test_minifits_reads_astropy_conventions_fixture():
+    from tests.data.interop.make_fixtures import (
+        fits_flux_column,
+        fits_image,
+    )
+
+    hdus = read_hdulist(FIXTURE_DIR / "astropy_conventions.fits")
+    assert len(hdus) == 2
+    assert_allclose(np.asarray(hdus[0].data), fits_image(), rtol=1e-7)
+    # mandatory-card comments ("/ conforms to FITS standard", ...) and
+    # the EXTEND card must not confuse the parser (structural cards are
+    # consumed by the reader; the WCS cards must all survive)
+    for key, value in WCS_HEADER.items():
+        got = hdus[0].header[key]
+        if isinstance(value, str):
+            assert str(got).strip() == value
+        else:
+            assert got == pytest.approx(value)
+    # the fixture WCS drives the TAN projection end-to-end
+    wcs = SimpleWCS({k: hdus[0].header[k] for k in WCS_HEADER})
+    lon, lat = wcs.pixel_to_world(np.array([15.5]), np.array([15.5]))
+    assert lon[0] == pytest.approx(83.633, abs=1e-6)
+    assert lat[0] == pytest.approx(22.0145, abs=1e-6)
+
+    assert hdus[1].name == "SRC"
+    assert_allclose(hdus[1].columns["flux"], fits_flux_column())
+
+
+def test_asdf_lite_reads_asdf_conventions_fixture():
+    from tests.data.interop.make_fixtures import asdf_tree_arrays
+
+    raw = (FIXTURE_DIR / "asdf_conventions.asdf").read_bytes()
+    # the fixture carries the real writer's furniture the reader must
+    # tolerate: tagged library/history metadata and the block index
+    assert b"asdf_library: !core/software-1.0.0" in raw
+    assert b"!core/extension_metadata-1.0.0" in raw
+    assert b"#ASDF BLOCK INDEX" in raw
+
+    tree = read_asdf(FIXTURE_DIR / "asdf_conventions.asdf")
+    assert sorted(tree) == ["flux", "meta"]  # metadata keys dropped
+    assert_allclose(np.asarray(tree["flux"]), asdf_tree_arrays())
+    assert tree["meta"]["beta"] == pytest.approx(3.0)
+
+
+@pytest.mark.skipif(not HAS_ASTROPY, reason="astropy not installed")
+def test_astropy_reads_fits_fixture():
+    """Provenance check in interop-enabled environments: the checked-in
+    fixture is a file astropy itself accepts and reads identically."""
+    from tests.data.interop.make_fixtures import fits_image
+
+    with astropy_fits.open(FIXTURE_DIR / "astropy_conventions.fits") as hdus:
+        assert_allclose(hdus[0].data, fits_image(), rtol=1e-7)
+        assert hdus["SRC"].data["flux"].tolist() == [1.0, 2.0]
+
+
+@pytest.mark.skipif(not HAS_ASDF, reason="asdf not installed")
+def test_asdf_package_reads_asdf_fixture():
+    from tests.data.interop.make_fixtures import asdf_tree_arrays
+
+    with asdf_pkg.open(FIXTURE_DIR / "asdf_conventions.asdf") as af:
+        assert_allclose(np.asarray(af["flux"]), asdf_tree_arrays())
+        assert af["meta"]["beta"] == pytest.approx(3.0)
