@@ -5,10 +5,20 @@ with the GMM patch prior (K=200 components, 8x8 patches, stride 4 —
 the shape of the reference's zoran-weiss library), on one chip.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+     "repeats_iters_per_sec": [...], "spread_pct": ...}
 
-``vs_baseline`` is the speed-up factor against the 60 s target from
-BASELINE.json (>1 means faster than target).
+``value`` is the MEDIAN iters/sec over ``--repeats`` timed runs (the
+tunnel-attached TPU shows ±25% run-to-run variance, so single-run
+numbers are noisy); ``vs_baseline`` is the speed-up factor against the
+60 s target from BASELINE.json (>1 means faster than target) at the
+median. With ``--all-modes`` the same line additionally carries a
+``rows`` object with one entry per published mode (headline
+split-float MAP, full-f32 ``highest`` precision, marginalise
+reduction, reference-exact ``sequential`` semantics), each measured in
+its own subprocess with its own repeats — so every mode documented in
+docs/performance.md is pinned against regression by the driver
+artifact, not just the headline.
 """
 
 import argparse
@@ -121,7 +131,18 @@ def main():
                         help="joint = one step per epoch on the summed "
                              "loss (headline); sequential = one step per "
                              "dataset per epoch (reference semantics)")
+    parser.add_argument("--repeats", type=int, default=3,
+                        help="timed runs after warm-up; the reported "
+                             "value is the median (tunnel noise is ±25%%)")
+    parser.add_argument("--all-modes", action="store_true",
+                        help="also benchmark highest-precision, "
+                             "marginalise and sequential rows, each in "
+                             "a fresh subprocess; emit one JSON line "
+                             "with a 'rows' object")
     args = parser.parse_args()
+
+    if args.all_modes:
+        return main_all_modes(args)
 
     import jax
 
@@ -208,13 +229,23 @@ def main():
 
         profile_ctx = contextlib.nullcontext()
 
-    t0 = time.time()
-    with profile_ctx:
-        result = deco.run(datasets=datasets, components=components)
-        # block on the final flux
-        np.asarray(result.components["flux"].flux_upsampled_numpy)
-    elapsed = time.time() - t0
+    # n timed repeats on the cached executable; components are consumed
+    # (trained in place) per run, so fresh copies are cut OUTSIDE the
+    # timed window
+    repeats = []
+    for _ in range(max(1, args.repeats)):
+        components_run = copy.deepcopy(components)
+        t0 = time.time()
+        with profile_ctx:
+            result = deco.run(
+                datasets=datasets, components=components_run
+            )
+            # block on the final flux
+            np.asarray(result.components["flux"].flux_upsampled_numpy)
+        repeats.append(time.time() - t0)
+        profile_ctx = contextlib.nullcontext()  # profile first run only
 
+    elapsed = float(np.median(repeats))
     iters_per_sec = args.iters / elapsed
     target_seconds = 60.0
     if args.prior == "gmm":
@@ -222,10 +253,12 @@ def main():
         reduction = "marginalise" if args.marginalize else "MAP-max"
         prior_desc = (
             f"GMM patch prior [{args.gmm_name}] K={k_actual} "
-            f"stride {args.stride} {reduction}"
+            f"stride {args.stride} {reduction}, "
+            f"precision={args.precision}"
         )
     else:
         prior_desc = "uniform prior"
+    rates = sorted(args.iters / t for t in repeats)
     out = {
         "metric": (
             f"Adam MAP iters/sec, {args.update_strategy} "
@@ -234,7 +267,66 @@ def main():
         "value": round(iters_per_sec, 3),
         "unit": "iters/sec",
         "vs_baseline": round(target_seconds / elapsed, 3),
+        "repeats_iters_per_sec": [round(r, 3) for r in rates],
+        "spread_pct": round(
+            100.0 * (rates[-1] - rates[0]) / rates[len(rates) // 2], 1
+        ),
     }
+    print(json.dumps(out))
+
+
+# the non-headline rows published in docs/performance.md, pinned
+# against regression by the --all-modes artifact; secondary rows use
+# fewer iterations (the rate is iteration-count independent once the
+# chunked scan executable is warm — measured in docs/performance.md)
+ALL_MODE_ROWS = (
+    ("headline", []),
+    ("highest_precision", ["--precision", "highest"]),
+    ("marginalise", ["--marginalize"]),
+    ("sequential", ["--update-strategy", "sequential",
+                    "--iters", "300"]),
+)
+
+
+def main_all_modes(args):
+    """Run every published mode in its own subprocess, emit ONE line.
+
+    Subprocesses give each row fresh trace-time config globals
+    (precision/pallas dispatch are read at trace time) and an honest
+    cold-cache compile path (the persistent XLA cache still amortises
+    repeat invocations). Rows run strictly sequentially — the tunnel
+    TPU must never see two concurrent clients.
+    """
+    import subprocess
+
+    here = Path(__file__).resolve()
+    base_flags = ["--repeats", str(args.repeats),
+                  "--n-obs", str(args.n_obs), "--size", str(args.size)]
+    rows = {}
+    for name, flags in ALL_MODE_ROWS:
+        cmd = [sys.executable, str(here)] + base_flags + flags
+        if "--iters" not in flags:
+            cmd += ["--iters", str(args.iters)]
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+        try:
+            rows[name] = json.loads(line)
+        except (json.JSONDecodeError, IndexError):
+            rows[name] = {
+                "error": f"rc={proc.returncode}",
+                "stderr_tail": proc.stderr[-500:],
+            }
+
+    headline = rows.get("headline", {})
+    out = dict(headline) if "value" in headline else {
+        "metric": "Adam MAP iters/sec (headline failed)",
+        "value": 0.0,
+        "unit": "iters/sec",
+        "vs_baseline": 0.0,
+    }
+    out["rows"] = rows
     print(json.dumps(out))
 
 
