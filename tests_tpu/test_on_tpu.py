@@ -481,3 +481,57 @@ def test_bf16_round_survives_xla_excess_precision():
     # the residual actually feeds a nonzero MXU compensation pass
     lo = np.asarray(jax.jit(lambda z: z - bf16_round(z))(x))
     assert np.abs(lo).max() > 0.0
+
+
+@requires_device("tpu")
+@pytest.mark.parametrize("marginalize", [False, True],
+                         ids=["map", "marginalise"])
+def test_compute_error_at_benchmark_scale(marginalize):
+    """``TotalLoss.fluxes_error`` at the north-star scale (10 obs,
+    1024^2, K=200 GMM) stays on compiled second-order kernels.
+
+    Pins the round-3 win: the Hessian probe runs forward-over-reverse
+    through the patch-level Pallas kernels (MAP: piecewise-constant
+    argmax rule; marginalise: the softmax-HVP kernel) in well under a
+    second once compiled. A regression to the re-traced XLA scan
+    scorer — or a broken capability fallback — shows up as a
+    multi-second repeat probe and fails the bound."""
+    import time
+
+    from bench import make_bench_gmm, make_datasets
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.loss import PriorLoss, TotalLoss
+    from jolideco_tpu.parallel import StackedPoissonLoss
+    from jolideco_tpu.priors import GMMPatchPrior
+
+    datasets = make_datasets(n_obs=10, size=1024)
+    prior = GMMPatchPrior(gmm=make_bench_gmm(k=200), stride=4,
+                          cycle_spin=False, marginalize=marginalize)
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((1024, 1024), np.float32), prior=prior
+    )
+    poisson = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    total = TotalLoss(
+        poisson_loss=poisson,
+        prior_loss=PriorLoss(priors=components.priors),
+        beta=1.0,
+    )
+    fluxes = components.to_flux_tuple()
+
+    # first call pays the compile; the repeat is the steady-state probe
+    err = np.asarray(total.fluxes_error(fluxes=fluxes)["flux"])
+    assert np.isfinite(err).all(), "non-finite flux errors"
+    assert (err > 0).all()
+
+    t0 = time.time()
+    err2 = np.asarray(total.fluxes_error(fluxes=fluxes)["flux"])
+    t_repeat = time.time() - t0
+    assert np.array_equal(err, err2)
+    # round-3 steady state is ~0.4 s; 4 s leaves ample tunnel-noise
+    # headroom while still catching an order-of-magnitude regression
+    assert t_repeat < 4.0, (
+        f"cached compute_error probe took {t_repeat:.2f}s (> 4s bound)"
+    )
