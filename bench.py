@@ -123,6 +123,9 @@ def main():
                         choices=["fft", "direct", "mxu", "ct"],
                         help="PSF convolution implementation (ct = "
                              "packed-pair Cooley-Tukey matmul DFT)")
+    parser.add_argument("--fft-shape", type=int, default=None,
+                        help="padded square FFT transform size for the "
+                             "joint conv (default: minimal linear shape)")
     parser.add_argument("--no-persistent-cache", action="store_true",
                         help="don't write the XLA compile cache to "
                              "~/.cache/jolideco-tpu-xla")
@@ -200,6 +203,10 @@ def main():
         trace_every=0,
         seed=0,
         conv_mode=args.conv_mode,
+        fft_shape=(
+            None if args.fft_shape is None
+            else (args.fft_shape, args.fft_shape)
+        ),
     )
 
     # compile warm-up: run one chunk with identical shapes on the same

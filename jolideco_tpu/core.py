@@ -133,6 +133,12 @@ class MAPDeconvolver:
         reference behaviour).
     seed : int
         PRNG seed for prior randomness (cycle spins, jitter).
+    fft_shape : tuple of int, optional
+        Padded transform shape for the joint-strategy FFT convolution
+        (must be at least ``image + kernel - 1`` per axis). Default:
+        the minimal linear-convolution shape. XLA's mixed-radix TPU
+        FFT can run faster at a slightly larger shape with friendlier
+        factors — measure with ``scripts/bench_fft_sizes.py``.
     """
 
     _default_flux_component = "flux"
@@ -158,6 +164,7 @@ class MAPDeconvolver:
         device=None,
         mesh=None,
         conv_mode="fft",
+        fft_shape=None,
     ):
         self.n_epochs = int(n_epochs)
         self.beta = float(beta)
@@ -170,6 +177,9 @@ class MAPDeconvolver:
         self.device = device
         self.mesh = mesh
         self.conv_mode = str(conv_mode)
+        self.fft_shape = None if fft_shape is None else tuple(
+            int(s) for s in fft_shape
+        )
 
         if optimizer_type not in OPTIMIZER:
             raise ValueError(
@@ -221,6 +231,9 @@ class MAPDeconvolver:
         data["scan_epochs"] = self.scan_epochs
         data["scan_chunk"] = self.scan_chunk
         data["conv_mode"] = self.conv_mode
+        data["fft_shape"] = (
+            None if self.fft_shape is None else list(self.fft_shape)
+        )
         # the mesh itself is runtime state; record its topology
         data["mesh"] = (
             None
@@ -272,14 +285,14 @@ class MAPDeconvolver:
                 poisson = StackedPoissonLoss.from_datasets(
                     datasets=datasets, components=components,
                     calibrations=calibrations, conv_mode=self.conv_mode,
-                    row_shards=row_shards,
+                    fft_shape=self.fft_shape, row_shards=row_shards,
                 )
                 poisson_validation = None
                 if datasets_validation:
                     poisson_validation = StackedPoissonLoss.from_datasets(
                         datasets=datasets_validation, components=components,
                         calibrations=calibrations, conv_mode=self.conv_mode,
-                        row_shards=row_shards,
+                        fft_shape=self.fft_shape, row_shards=row_shards,
                     )
                 if self.mesh is not None:
                     if row_shards:
@@ -303,6 +316,10 @@ class MAPDeconvolver:
                     beta=self.beta,
                 )
             except ValueError as exc:
+                if self.fft_shape is not None:
+                    # an explicit fft_shape pins the stacked path; a
+                    # silent fallback would ignore the user's request
+                    raise
                 log.warning(
                     f"Cannot stack observations ({exc}); falling back to "
                     "per-dataset forward models"

@@ -306,6 +306,36 @@ def test_joint_update_strategy(datasets_gauss):
     assert_allclose(result.trace_loss[-1]["total"], 6.095006, rtol=1e-2)
 
 
+def test_joint_fft_shape_override(datasets_gauss):
+    # any padding >= image + kernel - 1 computes the same linear
+    # convolution, so an oversized fft_shape must reproduce the
+    # default run (the knob trades transform radix vs padded area,
+    # docs/performance.md)
+    def build():
+        components = FluxComponents()
+        components["flux-1"] = SpatialFluxComponent.from_numpy(
+            flux=flux_init_32(), prior=UniformPrior()
+        )
+        return components
+
+    kwargs = dict(
+        n_epochs=20, learning_rate=0.1, display_progress=False,
+        update_strategy="joint",
+    )
+    r_default = MAPDeconvolver(**kwargs).run(
+        datasets=datasets_gauss, components=build()
+    )
+    deco = MAPDeconvolver(fft_shape=(48, 50), **kwargs)
+    assert deco.to_dict()["fft_shape"] == [48, 50]
+    r_padded = deco.run(datasets=datasets_gauss, components=build())
+    assert_allclose(r_padded.flux_total, r_default.flux_total, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="too small"):
+        MAPDeconvolver(fft_shape=(8, 8), **kwargs).run(
+            datasets=datasets_gauss, components=build()
+        )
+
+
 def test_sgd_optimizer(datasets_gauss):
     deco = MAPDeconvolver(
         n_epochs=10, learning_rate=0.01, optimizer_type="sgd",
