@@ -22,10 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def time_roundtrip(size, batch, repeats):
-    """fwd fft2 -> kernel multiply -> ifft2 -> scalar, like one packed
-    convolution direction pair per step (a bare ifft2(fft2(z))
-    roundtrip gets simplified to a copy — measured 0.01 ms)."""
+def time_roundtrip(size, batch, repeats, inner=50):
+    """fwd fft2 -> kernel multiply -> ifft2, chained ``inner`` times
+    inside one lax.scan so per-call tunnel latency (~25 ms, larger
+    than the op itself) amortises away; one device->host fetch at the
+    end is the fence (block_until_ready returns early on this
+    backend). A bare ifft2(fft2(z)) roundtrip without the kernel
+    multiply gets simplified to a copy — measured 0.01 ms."""
     shape = (batch, size, size)
     key0, key1 = jax.random.split(jax.random.PRNGKey(0))
     x = jax.lax.complex(
@@ -38,19 +41,22 @@ def time_roundtrip(size, batch, repeats):
     )
 
     @jax.jit
-    def step(z, k):
-        y = jnp.fft.ifft2(jnp.fft.fft2(z) * k)
-        return jnp.sum(jnp.real(y))
+    def chain(z, k):
+        def body(carry, _):
+            # normalise so the chain neither overflows nor can any
+            # iteration be folded away (each depends on the previous)
+            y = jnp.fft.ifft2(jnp.fft.fft2(carry) * k)
+            return y / jnp.max(jnp.abs(y)), None
 
-    # fetch the scalar to host each repeat: on the tunnel-attached
-    # backend block_until_ready() returns before execution finishes,
-    # so device-to-host fetch is the only reliable fence
-    float(step(x, kft))  # compile
+        out, _ = jax.lax.scan(body, z, None, length=inner)
+        return jnp.sum(jnp.real(out))
+
+    float(chain(x, kft))  # compile
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(step(x, kft))
-        times.append(time.perf_counter() - t0)
+        float(chain(x, kft))
+        times.append((time.perf_counter() - t0) / inner)
     return min(times), float(np.median(times))
 
 
