@@ -307,8 +307,25 @@ def main_all_modes(args):
     import subprocess
 
     here = Path(__file__).resolve()
+    # forward every configuration flag the user set; per-row flags are
+    # appended AFTER so they override (argparse takes the last value)
     base_flags = ["--repeats", str(args.repeats),
-                  "--n-obs", str(args.n_obs), "--size", str(args.size)]
+                  "--n-obs", str(args.n_obs), "--size", str(args.size),
+                  "--gmm-k", str(args.gmm_k),
+                  "--gmm-name", args.gmm_name,
+                  "--stride", str(args.stride),
+                  "--precision", args.precision,
+                  "--pallas", args.pallas,
+                  "--prior", args.prior,
+                  "--patch-fraction", str(args.patch_fraction),
+                  "--conv-mode", args.conv_mode,
+                  "--update-strategy", args.update_strategy]
+    if args.fft_shape is not None:
+        base_flags += ["--fft-shape", str(args.fft_shape)]
+    if args.marginalize:
+        base_flags += ["--marginalize"]
+    if args.no_persistent_cache:
+        base_flags += ["--no-persistent-cache"]
     rows = {}
     for name, flags in ALL_MODE_ROWS:
         cmd = [sys.executable, str(here)] + base_flags + flags
@@ -317,8 +334,8 @@ def main_all_modes(args):
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=1800
         )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
         try:
+            line = proc.stdout.strip().splitlines()[-1]
             rows[name] = json.loads(line)
         except (json.JSONDecodeError, IndexError):
             rows[name] = {

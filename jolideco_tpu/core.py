@@ -331,6 +331,7 @@ class MAPDeconvolver:
             components=components,
             calibrations=calibrations,
             beta=self.beta,
+            fft_shape=self.fft_shape,
         )
 
     def _make_optimizer(self):

@@ -275,10 +275,11 @@ class StackedPoissonLoss:
 
                 # ragged PSF sizes: upsample + center-pad per shape
                 # group on device, then restore observation order
+                by_shape = {}
+                for idx, psf in enumerate(raw_psfs):
+                    by_shape.setdefault(psf.shape[-2:], []).append(idx)
+
                 def padded_stack(scales):
-                    by_shape = {}
-                    for idx, psf in enumerate(raw_psfs):
-                        by_shape.setdefault(psf.shape[-2:], []).append(idx)
                     groups, order = [], []
                     for idxs in by_shape.values():
                         order.extend(idxs)
@@ -299,13 +300,20 @@ class StackedPoissonLoss:
                     inverse = np.argsort(order)
                     return jnp.concatenate(groups)[inverse]
 
-                psfs_common = padded_stack(None)
                 # psf_scale calibrations: the convolution spectra come
                 # from the zoomed kernels; exposure edge correction
-                # keeps the unscaled ones (per-dataset build parity)
+                # keeps the unscaled ones (per-dataset build parity).
+                # The unscaled stack is only consumed by the edge
+                # correction once zoomed kernels exist, so skip its
+                # build when nothing reads it.
                 psfs_conv = (
                     padded_stack(scale_values)
                     if scale_values is not None else None
+                )
+                psfs_common = (
+                    padded_stack(None)
+                    if psfs_conv is None or correct_exposure_edges
+                    else psfs_conv
                 )
 
                 n_obs = len(raw_psfs)

@@ -468,8 +468,12 @@ class MultiScalePrior(Prior):
 
     def second_order_ok(self, flux_shape):
         """Second order is available iff the wrapped prior supports it
-        at every downsampled level shape (``avg_pool`` floor-divides)."""
-        h, w = tuple(flux_shape)
+        at every downsampled level shape (``avg_pool`` floor-divides).
+
+        ``flux_shape`` arrives as the full (1, 1, H, W) component shape
+        from ``hessian_diagonals``; only the spatial dims matter.
+        """
+        h, w = tuple(flux_shape)[-2:]
         return all(
             self.prior.second_order_ok((h // 2**idx, w // 2**idx))
             for idx in range(self.n_levels)

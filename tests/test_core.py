@@ -306,6 +306,36 @@ def test_joint_update_strategy(datasets_gauss):
     assert_allclose(result.trace_loss[-1]["total"], 6.095006, rtol=1e-2)
 
 
+def test_compute_error_with_multiscale_prior(datasets_gauss):
+    # regression: MultiScalePrior.second_order_ok used to unpack the
+    # full 4-D (1, 1, H, W) shape into (h, w), crashing every
+    # compute_error run with a multiscale prior after training finished
+    from jolideco_tpu.priors import MultiScalePrior
+    from jolideco_tpu.priors.patches.gmm import GaussianMixtureModel
+
+    base = GMMPatchPrior(
+        gmm=GaussianMixtureModel.from_registry("builtin-8x8-v1"),
+        norm=ASinhImageNorm(), cycle_spin=False,
+    )
+    prior = MultiScalePrior(prior=base, n_levels=2, cycle_spin=False)
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=flux_init_32(), prior=prior
+    )
+    deco = MAPDeconvolver(
+        n_epochs=3, learning_rate=0.1, compute_error=True,
+        display_progress=False,
+    )
+    result = deco.run(datasets=datasets_gauss, components=components)
+    err = result.components["flux-1"].flux_upsampled_error_numpy
+    # after 3 epochs some pixels sit at negative curvature, where
+    # sqrt(1/H) is NaN by construction (reference behaviour too) —
+    # the regression target is the shape-unpack crash, not the values
+    assert err.shape == (32, 32)
+    finite = np.isfinite(err)
+    assert finite.any() and np.all(err[finite] > 0)
+
+
 def test_joint_fft_shape_override(datasets_gauss):
     # any padding >= image + kernel - 1 computes the same linear
     # convolution, so an oversized fft_shape must reproduce the
@@ -334,6 +364,16 @@ def test_joint_fft_shape_override(datasets_gauss):
         MAPDeconvolver(fft_shape=(8, 8), **kwargs).run(
             datasets=datasets_gauss, components=build()
         )
+
+    # the sequential (per-dataset) path honours the override too
+    kwargs_seq = dict(kwargs, update_strategy="sequential", n_epochs=10)
+    r_seq = MAPDeconvolver(**kwargs_seq).run(
+        datasets=datasets_gauss, components=build()
+    )
+    r_seq_padded = MAPDeconvolver(fft_shape=(48, 50), **kwargs_seq).run(
+        datasets=datasets_gauss, components=build()
+    )
+    assert_allclose(r_seq_padded.flux_total, r_seq.flux_total, rtol=1e-5)
 
 
 def test_sgd_optimizer(datasets_gauss):

@@ -234,3 +234,49 @@ def test_joint_build_matches_sequential_build_total_loss():
     v_joint = np.asarray(joint.poisson_loss.evaluate(fluxes))
     v_seq = np.asarray(sequential.poisson_loss.evaluate(fluxes))
     assert_allclose(v_joint, v_seq, rtol=1e-6)
+
+
+def test_stacked_psf_scale_without_edge_correction():
+    """With ``correct_exposure_edges=False`` and psf_scale calibrations
+    the stacked build skips the (then-unconsumed) unscaled kernel stack
+    entirely; the loss must still match the per-dataset path built with
+    the same flag."""
+    from jolideco_tpu.models import NPredModel, NPredModels
+
+    datasets, components, calibrations = make_problem()
+    fluxes = components.to_flux_tuple()
+
+    npred_all, counts_all = [], []
+    for name, dataset in datasets.items():
+        values = []
+        for comp_name, component in components.items():
+            model = NPredModel.from_numpy(
+                exposure=dataset["exposure"],
+                psf=dataset["psf"],
+                upsampling_factor=component.upsampling_factor,
+                correct_exposure_edges=False,
+            )
+            values.append((comp_name, model))
+        background = np.asarray(dataset["background"])[None, None]
+        npred_all.append(
+            NPredModels(background, calibrations[name], values)
+        )
+        counts_all.append(
+            jnp.asarray(
+                np.asarray(dataset["counts"])[None, None], jnp.float32
+            )
+        )
+    per = PoissonLoss(
+        counts_all=counts_all,
+        npred_models_all=npred_all,
+        names_all=list(datasets),
+    )
+    expected = np.asarray(per.evaluate(fluxes))
+
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components,
+        calibrations=calibrations, conv_mode="fft",
+        correct_exposure_edges=False,
+    )
+    got = np.asarray(stacked.evaluate(fluxes))
+    assert_allclose(got, expected, rtol=1e-5)
