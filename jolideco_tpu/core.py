@@ -201,6 +201,12 @@ class MAPDeconvolver:
                 "'sequential' or 'joint'"
             )
         self.update_strategy = update_strategy
+        if mesh is not None and update_strategy != "joint":
+            log.warning(
+                "mesh is only used by the joint update strategy; the "
+                "sequential per-dataset loop runs unsharded. Pass "
+                "update_strategy='joint' to shard over the mesh."
+            )
         self.scan_epochs = scan_epochs
         self.scan_chunk = None if scan_chunk is None else int(scan_chunk)
         self.trace_every = int(trace_every)

@@ -186,6 +186,59 @@ def test_map_deconvolver_early_stop(datasets_disk):
     assert len(result.trace_loss) < 100
 
 
+def test_joint_validation_and_early_stop(datasets_disk):
+    # the joint strategy builds a SECOND StackedPoissonLoss for the
+    # validation datasets and reads the early-stop signal off the
+    # per-epoch trace — previously only exercised on the sequential
+    # path
+    deco = MAPDeconvolver(
+        n_epochs=500, learning_rate=0.5, stop_early=True,
+        stop_early_n_average=10, display_progress=False,
+        update_strategy="joint",
+    )
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=flux_init_32(), prior=ExponentialPrior(alpha=1)
+    )
+    datasets = {name: datasets_disk[name] for name in ["0", "1"]}
+    result = deco.run(
+        datasets=datasets, components=components,
+        datasets_validation={"2": datasets_disk["2"]},
+    )
+    assert len(result.trace_loss) < 200
+    assert np.isfinite(result.trace_loss[-1]["datasets-validation-total"])
+
+
+def test_joint_with_checkpoints(tmp_path, datasets_gauss):
+    # joint strategy + per-epoch checkpoints forces the host loop
+    # around the stacked loss; checkpoints must write and reread
+    deco = MAPDeconvolver(
+        n_epochs=4, learning_rate=0.1, display_progress=False,
+        update_strategy="joint", checkpoint_path=tmp_path, trace_every=1,
+    )
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=flux_init_32(), prior=UniformPrior()
+    )
+    result = deco.run(datasets=datasets_gauss, components=components)
+    earlier = result.read_checkpoint(epoch=2)
+    assert earlier.flux_total.shape == (32, 32)
+    assert np.isfinite(earlier.flux_total).all()
+    last = result.read_checkpoint(epoch=3)
+    assert_allclose(last.flux_total, result.flux_total, rtol=1e-5)
+
+
+def test_mesh_with_sequential_warns(caplog):
+    import logging
+
+    import jax
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("obs",))
+    with caplog.at_level(logging.WARNING, logger="jolideco_tpu.core"):
+        MAPDeconvolver(update_strategy="sequential", mesh=mesh)
+    assert any("joint" in rec.message for rec in caplog.records)
+
+
 def test_map_deconvolver_early_stop_requires_validation(datasets_disk):
     deco = MAPDeconvolver(n_epochs=10, stop_early=True)
     with pytest.raises(ValueError):
