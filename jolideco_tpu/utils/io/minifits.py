@@ -48,7 +48,43 @@ def _format_value(value):
     return f"'{text:<8s}'"
 
 
+# a string card is "KEY     = '...'": 8 key + "= " + 2 quotes leaves
+# 68 chars of escaped text; keep 2 in reserve for the '&' continuation
+# marker and the final escape possibly being 2 chars wide
+_STR_CHUNK = 66
+
+
+def _escaped_chunks(text):
+    """Split ``text`` into chunks whose quote-escaped form fits a card."""
+    chunks, current, width = [], [], 0
+    for char in text:
+        piece = "''" if char == "'" else char
+        if width + len(piece) > _STR_CHUNK:
+            chunks.append("".join(current))
+            current, width = [], 0
+        current.append(piece)
+        width += len(piece)
+    chunks.append("".join(current))
+    return chunks
+
+
 def _format_card(key, value, comment=None):
+    """Format one 80-char card — or, for string values too long for a
+    single card, a concatenation of 80-char pieces using the OGIP 1.0
+    long-string convention (``'...&'`` + ``CONTINUE`` cards, the same
+    one astropy emits), so values are never silently truncated."""
+    if isinstance(value, str) and len(value.replace("'", "''")) > 68:
+        chunks = _escaped_chunks(value)
+        pieces = []
+        for i, chunk in enumerate(chunks):
+            marker = "&" if i + 1 < len(chunks) else ""
+            body = f"'{chunk}{marker}'"
+            if i == 0:
+                piece = f"{key.upper():<8s}= {body}"
+            else:
+                piece = f"CONTINUE  {body}"
+            pieces.append(piece[:CARD].ljust(CARD))
+        return "".join(pieces)
     card = f"{key.upper():<8s}= {_format_value(value)}"
     if comment:
         card += f" / {comment}"
@@ -93,6 +129,7 @@ def _write_data(fh, raw):
 def _read_header(fh):
     cards = {}
     order = []
+    pending = None  # key whose string value ended with '&'
     while True:
         block = fh.read(BLOCK)
         if len(block) < BLOCK:
@@ -106,6 +143,20 @@ def _read_header(fh):
             if key == "END":
                 done = True
                 break
+            if key == "CONTINUE" and pending is not None:
+                # OGIP 1.0 long-string continuation: "CONTINUE  '...'".
+                # The pending value keeps its trailing '&' until a
+                # CONTINUE actually follows, so a short string that
+                # legitimately ends with '&' reads back unchanged.
+                part = _parse_value(card[10:])
+                cards[pending] = cards[pending][:-1]
+                if isinstance(part, str) and part.endswith("&"):
+                    cards[pending] += part
+                else:
+                    cards[pending] += str(part)
+                    pending = None
+                continue
+            pending = None
             if not key or key in ("COMMENT", "HISTORY"):
                 continue
             if card[8:10] != "= ":
@@ -127,8 +178,12 @@ def _read_header(fh):
                 value_text = s[: j + 1]
             else:
                 value_text = rest.split("/")[0]
-            cards[key] = _parse_value(value_text)
-            order.append(key)
+            value = _parse_value(value_text)
+            if isinstance(value, str) and value.endswith("&"):
+                pending = key  # '&' stripped when a CONTINUE follows
+            cards[key] = value
+            if key not in order:
+                order.append(key)
         if done:
             break
     header = Header()
@@ -146,6 +201,37 @@ _BITPIX = {
     np.dtype(">f8"): -64,
 }
 _BITPIX_INV = {v: k for k, v in _BITPIX.items()}
+
+# value-preserving promotions onto the FITS-native types above
+# (astropy instead uses BZERO offsets for unsigned; a widening cast is
+# equally spec-conformant and keeps the reader simple)
+_BITPIX_PROMOTE = {
+    np.dtype(np.bool_): ">u1",
+    np.dtype(np.int8): ">i2",
+    np.dtype(np.uint16): ">i4",
+    np.dtype(np.uint32): ">i8",
+    np.dtype(np.float16): ">f4",
+}
+
+
+def _be_image(data):
+    """Big-endian view of ``data`` in a FITS-writable dtype."""
+    dtype = data.dtype.newbyteorder(">")
+    if dtype in _BITPIX:
+        return data.astype(dtype)
+    promoted = _BITPIX_PROMOTE.get(data.dtype.newbyteorder("="))
+    if promoted is not None:
+        return data.astype(promoted)
+    if data.dtype == np.uint64:
+        if data.size and data.max() > np.iinfo(np.int64).max:
+            raise ValueError(
+                "uint64 image data exceeds the FITS int64 range"
+            )
+        return data.astype(">i8")
+    raise ValueError(
+        f"dtype {data.dtype} has no FITS image representation "
+        "(supported: bool, (u)int8-64, float16/32/64)"
+    )
 
 
 class ImageHDU:
@@ -168,7 +254,7 @@ class ImageHDU:
             cards.append(_format_card("BITPIX", 8))
             cards.append(_format_card("NAXIS", 0))
         else:
-            be = data.astype(data.dtype.newbyteorder(">"))
+            be = _be_image(data)
             bitpix = _BITPIX[be.dtype]
             cards.append(_format_card("BITPIX", bitpix))
             cards.append(_format_card("NAXIS", data.ndim))
@@ -186,8 +272,7 @@ class ImageHDU:
     def _raw_data(self):
         if self.data is None:
             return b""
-        be = self.data.astype(self.data.dtype.newbyteorder(">"))
-        return be.tobytes()
+        return _be_image(self.data).tobytes()
 
 
 _TFORM_DTYPES = [
@@ -364,6 +449,10 @@ def _read_table_data(fh, header):
             }[code]
         names.append(name)
         dtypes.append(dtype)
+
+    if not names:
+        # empty table (TFIELDS=0): no data block follows
+        return {}
 
     rec_dtype = np.dtype(list(zip(names, dtypes)))
     nbytes = rec_dtype.itemsize * n_rows

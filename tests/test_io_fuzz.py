@@ -1,0 +1,182 @@
+"""Adversarial round-trips of the hand-written binary IO layer.
+
+minifits implements the FITS subset from spec; these tests push the
+edges a polite caller never hits: every integer/float dtype (with the
+value-preserving promotions for types FITS images don't encode
+natively), long header strings through the OGIP 1.0 CONTINUE
+convention, quote-dense values, strings that legitimately end with the
+continuation marker, empty tables and zero-length image axes.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_array_equal
+
+from jolideco_tpu.utils.io.minifits import (
+    BinTableHDU,
+    ImageHDU,
+    read_hdulist,
+    write_hdulist,
+)
+
+
+def roundtrip(hdus, tmp_path, name="fuzz.fits"):
+    path = tmp_path / name
+    write_hdulist(hdus, path, overwrite=True)
+    return read_hdulist(path)
+
+
+@pytest.mark.parametrize(
+    "dtype,promoted",
+    [
+        (np.uint8, np.uint8),
+        (np.int16, np.int16),
+        (np.int32, np.int32),
+        (np.int64, np.int64),
+        (np.float32, np.float32),
+        (np.float64, np.float64),
+        # value-preserving promotions onto FITS-native types
+        (np.bool_, np.uint8),
+        (np.int8, np.int16),
+        (np.uint16, np.int32),
+        (np.uint32, np.int64),
+        (np.uint64, np.int64),
+        (np.float16, np.float32),
+    ],
+)
+def test_image_dtype_roundtrip(dtype, promoted, tmp_path):
+    rng = np.random.RandomState(0)
+    if np.dtype(dtype).kind == "b":
+        data = rng.rand(7, 5) > 0.5
+    elif np.dtype(dtype).kind in "iu":
+        info = np.iinfo(np.int8 if dtype is np.int8 else dtype)
+        high = min(info.max, np.iinfo(np.int64).max)
+        data = rng.randint(
+            max(info.min, -(2**31)), min(high, 2**31 - 1), (7, 5)
+        ).astype(dtype)
+        data.flat[0] = max(info.min, -(2**31))
+    else:
+        data = rng.randn(7, 5).astype(dtype)
+    hdus = roundtrip([ImageHDU(data=data, name="X")], tmp_path)
+    got = hdus[0].data
+    assert got.dtype.newbyteorder("=") == np.dtype(promoted)
+    assert_array_equal(got.astype(np.float64), data.astype(np.float64))
+
+
+def test_image_uint64_overflow_raises(tmp_path):
+    data = np.array([[np.iinfo(np.uint64).max]], np.uint64)
+    with pytest.raises(ValueError, match="int64 range"):
+        write_hdulist([ImageHDU(data=data)], tmp_path / "x.fits")
+
+
+def test_image_complex_raises(tmp_path):
+    data = np.ones((2, 2), np.complex64)
+    with pytest.raises(ValueError, match="no FITS image"):
+        write_hdulist([ImageHDU(data=data)], tmp_path / "x.fits")
+
+
+@pytest.mark.parametrize("shape", [(4,), (3, 4, 5), (0, 5), (1, 1)])
+def test_image_shapes_roundtrip(shape, tmp_path):
+    data = np.arange(int(np.prod(shape)), dtype=np.float32).reshape(shape)
+    hdus = roundtrip([ImageHDU(data=data)], tmp_path)
+    assert hdus[0].data.shape == shape
+    assert_array_equal(hdus[0].data, data)
+
+
+def test_noncontiguous_image_roundtrip(tmp_path):
+    base = np.arange(100, dtype=np.float32).reshape(10, 10)
+    view = base[::2, ::3]
+    hdus = roundtrip([ImageHDU(data=view)], tmp_path)
+    assert_array_equal(hdus[0].data, view)
+
+
+LONG_STRINGS = [
+    "x" * 200,
+    "path/" * 40 + "checkpoint-epoch-123.asdf",
+    # quote-dense: escaping doubles every character
+    "'" * 150,
+    "it's " * 30 + "o'clock",
+    # exactly at and around the single-card boundary (68 escaped chars)
+    "y" * 67,
+    "y" * 68,
+    "y" * 69,
+    # trailing continuation marker must survive, long and short
+    "z" * 100 + "&",
+    "short&",
+    "&",
+]
+
+
+@pytest.mark.parametrize("value", LONG_STRINGS)
+def test_long_header_string_roundtrip(value, tmp_path):
+    hdu = ImageHDU(
+        data=np.zeros((2, 2), np.float32), header={"LONGVAL": value}
+    )
+    hdus = roundtrip([hdu], tmp_path)
+    assert hdus[0].header["LONGVAL"] == value
+
+
+def test_many_long_strings_one_header(tmp_path):
+    header = {f"KEY{i}": f"value-{i}-" + "ab'cd" * (10 + 7 * i)
+              for i in range(6)}
+    header["AFTER"] = 42  # a plain card following the CONTINUE runs
+    hdus = roundtrip(
+        [ImageHDU(data=np.zeros((2, 2), np.float32), header=header)],
+        tmp_path,
+    )
+    for key, value in header.items():
+        assert hdus[0].header[key] == value
+
+
+def test_table_column_dtypes_roundtrip(tmp_path):
+    rng = np.random.RandomState(1)
+    columns = {
+        "flag": rng.rand(9) > 0.5,
+        "i16": rng.randint(-1000, 1000, 9).astype(np.int16),
+        "i32": rng.randint(-(2**30), 2**30, 9).astype(np.int32),
+        "i64": rng.randint(-(2**31), 2**31, 9).astype(np.int64),
+        "f32": rng.randn(9).astype(np.float32),
+        "f64": rng.randn(9),
+        "name": np.array([f"source-{i}" for i in range(9)]),
+    }
+    table = BinTableHDU(columns=columns, name="CAT")
+    hdus = roundtrip([ImageHDU(), table], tmp_path)
+    got = next(h for h in hdus if getattr(h, "name", "") == "CAT")
+    for key, expected in columns.items():
+        values = got.columns[key]
+        if expected.dtype.kind == "U":
+            assert [
+                v.decode() if isinstance(v, bytes) else str(v)
+                for v in values
+            ] == list(expected)
+        elif expected.dtype.kind == "b":
+            assert_array_equal(values.astype(bool), expected)
+        else:
+            assert_array_equal(
+                values.astype(expected.dtype), expected
+            )
+
+
+def test_empty_table_roundtrip(tmp_path):
+    table = BinTableHDU.from_rows([], name="EMPTY")
+    hdus = roundtrip([ImageHDU(), table], tmp_path)
+    got = next(h for h in hdus if getattr(h, "name", "") == "EMPTY")
+    assert dict(got.columns) == {}
+
+
+def test_header_scalar_types_roundtrip(tmp_path):
+    header = {
+        "BOOLT": True,
+        "BOOLF": False,
+        "INTV": -123456789,
+        "FLOATV": 2.5e-17,
+        "STRV": "plain",
+        "QUOTED": "it's quoted",
+    }
+    hdus = roundtrip(
+        [ImageHDU(data=np.zeros((2, 2), np.float32), header=header)],
+        tmp_path,
+    )
+    for key, value in header.items():
+        got = hdus[0].header[key]
+        assert got == value and type(got) is type(value)
