@@ -77,15 +77,51 @@ for _int_type in (np.int32, np.int64):
     )
 _AsdfDumper.add_representer(np.bool_, lambda d, v: d.represent_bool(bool(v)))
 _AsdfDumper.add_representer(np.str_, lambda d, v: d.represent_str(str(v)))
+# fallbacks for the remaining numpy scalar types (f16, u8, i16, ...)
+_AsdfDumper.add_multi_representer(
+    np.integer, lambda d, v: d.represent_int(int(v))
+)
+_AsdfDumper.add_multi_representer(
+    np.floating, lambda d, v: d.represent_float(float(v))
+)
+
+
+# value-preserving promotions onto the block datatypes this subset
+# reads back (same policy as minifits: widen, never silently lossy)
+_DTYPE_PROMOTE = {
+    np.dtype(np.int8): np.int16,
+    np.dtype(np.uint16): np.int32,
+    np.dtype(np.uint32): np.int64,
+    np.dtype(np.float16): np.float32,
+}
+
+
+def _writable_array(node):
+    dtype = node.dtype.newbyteorder("=")
+    if dtype in _DTYPE_NAMES:
+        return node
+    promoted = _DTYPE_PROMOTE.get(dtype)
+    if promoted is not None:
+        return node.astype(promoted)
+    if dtype == np.uint64:
+        if node.size and node.max() > np.iinfo(np.int64).max:
+            raise ValueError(
+                "uint64 array data exceeds the int64 range"
+            )
+        return node.astype(np.int64)
+    if dtype.kind in "cSUV":
+        raise ValueError(
+            f"dtype {node.dtype} has no ASDF block representation in "
+            "this subset (supported: bool, (u)int8-64, float16/32/64)"
+        )
+    return node.astype(np.float64)
 
 
 def _collect_arrays(node, blocks):
     """Replace ndarrays with block references, depth-first."""
     if isinstance(node, np.ndarray):
-        dtype = node.dtype
-        if dtype not in _DTYPE_NAMES:
-            node = node.astype(np.float64)
-            dtype = node.dtype
+        node = _writable_array(node)
+        dtype = node.dtype.newbyteorder("=")
         source = len(blocks)
         blocks.append(np.ascontiguousarray(node))
         return _NDArrayRef(

@@ -180,3 +180,110 @@ def test_header_scalar_types_roundtrip(tmp_path):
     for key, value in header.items():
         got = hdus[0].header[key]
         assert got == value and type(got) is type(value)
+
+
+# ---------------------------------------------------------------------
+# asdf_lite
+
+
+from jolideco_tpu.utils.io.asdf_lite import read_asdf, write_asdf  # noqa: E402
+
+
+def asdf_roundtrip(tree, tmp_path, name="fuzz.asdf"):
+    path = tmp_path / name
+    write_asdf(tree, path, overwrite=True)
+    return read_asdf(path)
+
+
+@pytest.mark.parametrize(
+    "dtype,promoted",
+    [
+        (np.float64, np.float64),
+        (np.float32, np.float32),
+        (np.int64, np.int64),
+        (np.int32, np.int32),
+        (np.int16, np.int16),
+        (np.uint8, np.uint8),
+        (np.bool_, np.bool_),
+        # value-preserving promotions
+        (np.int8, np.int16),
+        (np.uint16, np.int32),
+        (np.uint32, np.int64),
+        (np.uint64, np.int64),
+        (np.float16, np.float32),
+    ],
+)
+def test_asdf_array_dtype_roundtrip(dtype, promoted, tmp_path):
+    rng = np.random.RandomState(2)
+    if np.dtype(dtype).kind == "b":
+        data = rng.rand(4, 3) > 0.5
+    elif np.dtype(dtype).kind in "iu":
+        data = rng.randint(0, 100, (4, 3)).astype(dtype)
+    else:
+        data = rng.randn(4, 3).astype(dtype)
+    tree = asdf_roundtrip({"arr": data}, tmp_path)
+    got = tree["arr"]
+    assert got.dtype == np.dtype(promoted)
+    assert_array_equal(got.astype(np.float64), data.astype(np.float64))
+
+
+def test_asdf_complex_raises(tmp_path):
+    with pytest.raises(ValueError, match="no ASDF block"):
+        write_asdf({"z": np.ones((2, 2), np.complex64)},
+                   tmp_path / "z.asdf")
+
+
+def test_asdf_uint64_overflow_raises(tmp_path):
+    data = np.array([np.iinfo(np.uint64).max], np.uint64)
+    with pytest.raises(ValueError, match="int64 range"):
+        write_asdf({"u": data}, tmp_path / "u.asdf")
+
+
+@pytest.mark.parametrize("shape", [(), (5,), (2, 3, 4), (0, 3)])
+def test_asdf_array_shapes(shape, tmp_path):
+    data = np.arange(int(np.prod(shape)), dtype=np.float32).reshape(shape)
+    tree = asdf_roundtrip({"arr": data}, tmp_path)
+    assert tree["arr"].shape == shape
+    assert_array_equal(tree["arr"], data)
+
+
+def test_asdf_big_endian_input(tmp_path):
+    data = np.arange(12, dtype=">f4").reshape(3, 4)
+    tree = asdf_roundtrip({"arr": data}, tmp_path)
+    assert_array_equal(tree["arr"], data)
+
+
+def test_asdf_special_floats_and_nested_tree(tmp_path):
+    tree_in = {
+        "special": np.array([np.nan, np.inf, -np.inf, 0.0]),
+        "nested": {
+            "list": [1, 2.5, "three", True, None],
+            "scalars": {
+                "f16": np.float16(1.5),
+                "u8": np.uint8(7),
+                "i16": np.int16(-3),
+                "np_bool": np.bool_(True),
+                "np_str": np.str_("hello"),
+            },
+            "deeper": {"arrays": [np.ones(3, np.float32),
+                                  np.zeros((2, 2))]},
+        },
+        "unicode": "π ≈ 3.14159 — ünïcødé",
+    }
+    tree = asdf_roundtrip(tree_in, tmp_path)
+    got = np.asarray(tree["special"])
+    assert np.isnan(got[0]) and np.isposinf(got[1]) and np.isneginf(got[2])
+    assert tree["nested"]["list"] == [1, 2.5, "three", True, None]
+    sc = tree["nested"]["scalars"]
+    assert sc["f16"] == 1.5 and sc["u8"] == 7 and sc["i16"] == -3
+    assert sc["np_bool"] is True and sc["np_str"] == "hello"
+    assert_array_equal(tree["nested"]["deeper"]["arrays"][0],
+                       np.ones(3, np.float32))
+    assert tree["unicode"] == tree_in["unicode"]
+
+
+def test_asdf_many_blocks(tmp_path):
+    tree_in = {f"a{i}": np.full((3, 3), i, np.float32) for i in range(40)}
+    tree = asdf_roundtrip(tree_in, tmp_path)
+    for i in range(40):
+        assert_array_equal(tree[f"a{i}"], tree_in[f"a{i}"])
