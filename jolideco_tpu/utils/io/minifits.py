@@ -419,9 +419,29 @@ def _read_image_data(fh, header):
     nbytes = count * dtype.itemsize
     raw = fh.read(nbytes)
     fh.read((-nbytes) % BLOCK)
-    return np.frombuffer(raw, dtype=dtype).reshape(shape).astype(
+    data = np.frombuffer(raw, dtype=dtype).reshape(shape).astype(
         dtype.newbyteorder("=")
     )
+    # physical = BZERO + BSCALE * raw. astropy/cfitsio write unsigned
+    # integers through the standard BZERO offset patterns — map those
+    # back to the exact unsigned dtype; anything else scales to f64.
+    bscale = header.get("BSCALE", 1)
+    bzero = header.get("BZERO", 0)
+    if bscale == 1 and bzero == 0:
+        return data
+    unsigned = {
+        (8, -128): np.int8,
+        (16, 32768): np.uint16,
+        (32, 2**31): np.uint32,
+        (64, 2**63): np.uint64,
+    }.get((bitpix, bzero))
+    if bscale == 1 and unsigned is not None:
+        if bitpix == 64:
+            # modular add in uint64: raw + 2^63 wraps to the physical
+            # unsigned value exactly
+            return data.astype(np.uint64) + np.uint64(bzero)
+        return (data.astype(np.int64) + bzero).astype(unsigned)
+    return bzero + bscale * data.astype(np.float64)
 
 
 def _read_table_data(fh, header):

@@ -287,3 +287,78 @@ def test_asdf_many_blocks(tmp_path):
     tree = asdf_roundtrip(tree_in, tmp_path)
     for i in range(40):
         assert_array_equal(tree[f"a{i}"], tree_in[f"a{i}"])
+
+
+def _craft_fits_image(tmp_path, raw, bitpix, extra_cards):
+    """Byte-craft a minimal foreign FITS primary HDU."""
+    cards = [
+        ("SIMPLE", "T"),
+        ("BITPIX", str(bitpix)),
+        ("NAXIS", "2"),
+        ("NAXIS1", str(raw.shape[1])),
+        ("NAXIS2", str(raw.shape[0])),
+    ] + extra_cards
+    header = "".join(
+        f"{key:<8s}= {value:>20s}".ljust(80) for key, value in cards
+    )
+    header += "END".ljust(80)
+    header = header.ljust(-(-len(header) // 2880) * 2880)
+    data = raw.tobytes()
+    data += b"\x00" * ((-len(data)) % 2880)
+    path = tmp_path / "foreign.fits"
+    path.write_bytes(header.encode("ascii") + data)
+    return path
+
+
+@pytest.mark.parametrize(
+    "bitpix,raw_dtype,bzero,expected_dtype",
+    [
+        (16, ">i2", 32768, np.uint16),
+        (32, ">i4", 2**31, np.uint32),
+        (64, ">i8", 2**63, np.uint64),
+        (8, ">u1", -128, np.int8),
+    ],
+)
+def test_foreign_bzero_unsigned_read(
+    tmp_path, bitpix, raw_dtype, bzero, expected_dtype
+):
+    """astropy writes unsigned images through the standard BZERO
+    offset; reading one back must recover the physical values."""
+    info = np.iinfo(expected_dtype)
+    physical = np.array(
+        [[info.min, info.min + 3], [info.max - 3, info.max]],
+        dtype=np.dtype(expected_dtype).newbyteorder(">")
+        if np.dtype(expected_dtype).kind == "u" else expected_dtype,
+    )
+    if bitpix == 64:
+        # float64 cannot hold 64-bit extremes; craft via modular uint64
+        raw = (
+            physical.astype(np.uint64) - np.uint64(bzero)
+        ).astype(np.int64).astype(">i8")
+    else:
+        raw = (physical.astype(np.float64) - bzero).astype(raw_dtype)
+    path = _craft_fits_image(
+        tmp_path, raw, bitpix, [("BZERO", str(bzero)), ("BSCALE", "1")]
+    )
+    hdus = read_hdulist(path)
+    got = hdus[0].data
+    assert got.dtype == np.dtype(expected_dtype)
+    assert_array_equal(got, physical.astype(expected_dtype))
+
+
+def test_foreign_bscale_read(tmp_path):
+    raw = np.array([[0, 1], [2, 3]], ">i2")
+    path = _craft_fits_image(
+        tmp_path, raw, 16, [("BZERO", "100.5"), ("BSCALE", "0.25")]
+    )
+    hdus = read_hdulist(path)
+    assert_array_equal(
+        hdus[0].data, 100.5 + 0.25 * raw.astype(np.float64)
+    )
+
+
+def test_no_bzero_reads_raw(tmp_path):
+    raw = np.array([[-5, 6], [7, -8]], ">i2")
+    path = _craft_fits_image(tmp_path, raw, 16, [])
+    hdus = read_hdulist(path)
+    assert_array_equal(hdus[0].data, raw.astype(np.int16))
