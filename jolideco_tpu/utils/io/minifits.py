@@ -4,9 +4,14 @@ astropy is not a dependency of this package, so the FITS I/O layer
 (reference ``jolideco/utils/io/fits.py``) is backed by this
 self-contained implementation of the FITS subset jolideco files use:
 
-- primary + IMAGE extensions (2-D float32/float64 images),
+- primary + IMAGE extensions (any-rank integer/float images; dtypes
+  without a native BITPIX promote value-preserving — bool, int8,
+  uint16/32/64, float16),
 - BINTABLE extensions with logical/int/float/string columns,
-- standard 80-char header cards in 2880-byte blocks, big-endian data.
+- standard 80-char header cards in 2880-byte blocks, big-endian data,
+- OGIP 1.0 CONTINUE long-string cards (read and write),
+- BSCALE/BZERO scaling on read, including the standard unsigned-int
+  BZERO patterns astropy/cfitsio write.
 
 Files written here are spec-conformant and readable by astropy/cfitsio;
 reading supports the same subset.

@@ -124,3 +124,46 @@ def test_duck_typed_astropy_like():
     wcs = wcs_from_header(cards)
     assert isinstance(wcs, SimpleWCS)
     assert cards["CTYPE1"] == "RA---TAN"
+
+
+def test_tan_great_circle_invariant():
+    """TAN exactness at large offsets: the angular separation from the
+    reference point equals arctan(r) for tangent-plane radius r, for
+    any CD rotation — an invariant independent of the implementation's
+    own spherical-rotation algebra."""
+    for rot_deg in (0.0, 30.0, 137.0):
+        rot = np.deg2rad(rot_deg)
+        scale = 0.05  # deg/pix: large offsets in a 32-pixel span
+        cd = scale * np.array(
+            [[-np.cos(rot), np.sin(rot)], [np.sin(rot), np.cos(rot)]]
+        )
+        header = dict(HEADER)
+        header.pop("CDELT1"), header.pop("CDELT2")
+        header.update(
+            CD1_1=cd[0, 0], CD1_2=cd[0, 1],
+            CD2_1=cd[1, 0], CD2_2=cd[1, 1],
+        )
+        wcs = SimpleWCS(header)
+        lon0, lat0 = np.deg2rad([HEADER["CRVAL1"], HEADER["CRVAL2"]])
+        for dx, dy in [(10.0, 0.0), (0.0, 14.0), (-9.0, 12.0),
+                       (300.0, -200.0)]:
+            x = HEADER["CRPIX1"] - 1 + dx
+            y = HEADER["CRPIX2"] - 1 + dy
+            lon, lat = wcs.pixel_to_world(x, y)
+            lon, lat = np.deg2rad([lon, lat])
+            # great-circle separation (vincenty form, stable everywhere)
+            dlon = lon - lon0
+            sep = np.arctan2(
+                np.hypot(
+                    np.cos(lat) * np.sin(dlon),
+                    np.cos(lat0) * np.sin(lat)
+                    - np.sin(lat0) * np.cos(lat) * np.cos(dlon),
+                ),
+                np.sin(lat0) * np.sin(lat)
+                + np.cos(lat0) * np.cos(lat) * np.cos(dlon),
+            )
+            r = np.deg2rad(scale) * np.hypot(dx, dy)
+            assert_allclose(sep, np.arctan(r), rtol=1e-10, atol=1e-12)
+            # and the inverse recovers the pixel
+            x2, y2 = wcs.world_to_pixel(*np.rad2deg([lon, lat]))
+            assert_allclose([x2, y2], [x, y], atol=1e-6)
