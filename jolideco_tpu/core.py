@@ -278,28 +278,44 @@ class MAPDeconvolver:
             from .loss import PriorLoss
             from .parallel.stacked import StackedPoissonLoss
 
+            # a mesh with a "row" axis requests 2-D spatial sharding:
+            # build with a row-compatible FFT shape and place through
+            # shard_stacked_spatial (pencil-FFT path)
+            row_shards = (
+                int(self.mesh.shape["row"])
+                if self.mesh is not None
+                and "row" in self.mesh.axis_names
+                else None
+            )
+            poisson = poisson_validation = None
             try:
-                # a mesh with a "row" axis requests 2-D spatial
-                # sharding: build with a row-compatible FFT shape and
-                # place through shard_stacked_spatial (pencil-FFT path)
-                row_shards = (
-                    int(self.mesh.shape["row"])
-                    if self.mesh is not None
-                    and "row" in self.mesh.axis_names
-                    else None
-                )
                 poisson = StackedPoissonLoss.from_datasets(
                     datasets=datasets, components=components,
                     calibrations=calibrations, conv_mode=self.conv_mode,
                     fft_shape=self.fft_shape, row_shards=row_shards,
                 )
-                poisson_validation = None
                 if datasets_validation:
                     poisson_validation = StackedPoissonLoss.from_datasets(
                         datasets=datasets_validation, components=components,
                         calibrations=calibrations, conv_mode=self.conv_mode,
                         fft_shape=self.fft_shape, row_shards=row_shards,
                     )
+            except ValueError as exc:
+                if self.fft_shape is not None or self.mesh is not None:
+                    # an explicit fft_shape or a mesh pins the stacked
+                    # path; a silent fallback would ignore the user's
+                    # request (unsharded single-device training instead
+                    # of the multi-chip run they configured)
+                    raise
+                poisson = None
+                log.warning(
+                    f"Cannot stack observations ({exc}); falling back to "
+                    "per-dataset forward models"
+                )
+
+            if poisson is not None:
+                # sharding failures must propagate — only the stacked
+                # BUILD has a per-dataset fallback
                 if self.mesh is not None:
                     if row_shards:
                         from .parallel.spatial import shard_stacked_spatial
@@ -321,16 +337,13 @@ class MAPDeconvolver:
                     poisson_loss_validation=poisson_validation,
                     beta=self.beta,
                 )
-            except ValueError as exc:
-                if self.fft_shape is not None:
-                    # an explicit fft_shape pins the stacked path; a
-                    # silent fallback would ignore the user's request
-                    raise
-                log.warning(
-                    f"Cannot stack observations ({exc}); falling back to "
-                    "per-dataset forward models"
-                )
 
+        if self.conv_mode != "fft":
+            log.warning(
+                f"conv_mode={self.conv_mode!r} only applies to the "
+                "stacked joint path; the per-dataset forward models "
+                "always convolve via FFT"
+            )
         return TotalLoss.from_datasets_and_components(
             datasets=datasets,
             datasets_validation=datasets_validation,
@@ -420,10 +433,14 @@ class MAPDeconvolver:
                     calibration_params=params.get("calibrations"),
                 )
 
-            if trace_every == 0:
-                trace_row = {}
-            elif trace_every_epoch:
+            if trace_every_epoch:
+                # stop_early reads the validation loss off the row, so
+                # it forces a real row per epoch even when trace_every
+                # would disable or thin the RECORDED trace (recording
+                # is filtered downstream; stopping must not be)
                 trace_row = compute_row(params)
+            elif trace_every == 0:
+                trace_row = {}
             else:
                 # the trace row is a full no-grad forward of every
                 # dataset (+ validation); only pay it on recorded epochs
@@ -567,9 +584,15 @@ class MAPDeconvolver:
                 )
             all_rows.append(rows)
             start = stop
+            # one scalar fetch per chunk: once early stopping fired,
+            # the remaining chunks would only run no-op idle epochs
+            if self.stop_early and bool(carry[2]):
+                break
 
         params, opt_state, _, _, count = carry
-        if len(all_rows) == 1:
+        if not all_rows:  # n_epochs == 0: untrained result, empty trace
+            rows = {}
+        elif len(all_rows) == 1:
             rows = all_rows[0]
         else:
             rows = jax.tree_util.tree_map(
@@ -682,6 +705,20 @@ class MAPDeconvolver:
         else:
             # reused loss: each run gets a fresh trace table
             total_loss._trace = None
+            if (
+                datasets_validation is not None
+                and total_loss.poisson_loss_validation is None
+            ):
+                log.warning(
+                    "datasets_validation is ignored when a prebuilt "
+                    "total_loss is supplied; pass it to build_loss() "
+                    "instead"
+                )
+        if self.stop_early and total_loss.poisson_loss_validation is None:
+            raise ValueError(
+                "Early stopping requires a loss with validation datasets; "
+                "the supplied total_loss was built without them"
+            )
 
         params = {"components": components.parameters()}
         if calibrations:
@@ -803,6 +840,7 @@ class MAPDeconvolver:
 
         postfix_every = max(1, self.n_epochs // 200)
 
+        val_hist = []
         with tqdm(total=self.n_epochs * n_datasets, disable=disable) as pbar:
             for epoch in range(self.n_epochs):
                 pbar.set_description(f"Epoch {epoch + 1}")
@@ -847,13 +885,18 @@ class MAPDeconvolver:
                         priors_total=last["priors-total"],
                     )
 
-                if (
-                    self.stop_early
-                    and len(total_loss.trace) > self.stop_early_n_average
-                ):
-                    values = total_loss.trace["datasets-validation-total"]
-                    average = np.mean(values[-self.stop_early_n_average:])
-                    if values[-1] > average:
+                if self.stop_early:
+                    # per-epoch stopping on its own history — identical
+                    # to the scan path's rule even when trace_every > 1
+                    # records only a subset of rows in the trace table
+                    val_hist.append(
+                        float(row["datasets-validation-total"])
+                    )
+                    window = val_hist[-self.stop_early_n_average:]
+                    if (
+                        len(val_hist) > self.stop_early_n_average
+                        and val_hist[-1] > np.mean(window)
+                    ):
                         break
 
         self._last_params = params
@@ -975,13 +1018,25 @@ class MAPDeconvolverResult:
         return Path(path)
 
     def read_checkpoint(self, epoch):
-        """Read the checkpoint written at ``epoch``."""
+        """Read the checkpoint written at ``epoch``.
+
+        Checkpoints are written for every epoch, so the filename is
+        reconstructed from the epoch number directly — indexing the
+        trace table would return the wrong epoch when ``trace_every``
+        thins the recorded rows.
+        """
         if self.checkpoint_path is None:
             raise ValueError(
                 "This run was configured without checkpoint_path; there "
                 "are no per-epoch checkpoints to read."
             )
-        filename = self.checkpoint_path / self.trace_loss["filename"][epoch]
+        filename = self.checkpoint_path / (
+            MAPDeconvolver._default_checkpoint_filename.format(epoch=epoch)
+        )
+        if not filename.exists():
+            raise FileNotFoundError(
+                f"No checkpoint for epoch {epoch}: {filename}"
+            )
         return self.__class__.read(filename=filename)
 
     @property

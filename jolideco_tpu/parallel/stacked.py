@@ -651,18 +651,17 @@ class StackedPoissonLoss:
         args = self._stacked_args(calibration_params)
         return jax.vmap(per_obs, in_axes=(0,) * len(args))(*args)
 
-    def _evaluate_packed_fft(self, fluxes, calibration_params):
-        """Batched forward with pair-packed convolutions.
+    def _evaluate_batched(self, fluxes, calibration_params, conv_fn):
+        """Shared batched-forward scaffold.
 
-        The pair transforms run through XLA's FFT (``conv_mode="fft"``)
-        or the permuted matmul-DFT (``conv_mode="ct"``,
-        ``ops.ct_conv``); an odd tail observation falls back to a
-        single rFFT convolution in either mode.
+        Calibration shifts, exposure multiply, flux-conserving
+        downsample, clip, background norm and the vmapped NLL are
+        identical across the batched conv backends; ``conv_fn(name, x)``
+        supplies the convolution of the ``(N, 1, C, H', W')`` stack
+        ``x`` for component ``name``. One implementation keeps the
+        sharded and unsharded joint forwards from diverging.
         """
         n = self.counts.shape[0]
-        n_pairs = n // 2
-        fft_shape = self.fft_shape
-
         if self.has_calibration:
             shifts, log_norms = self._stack_calibration_params(
                 calibration_params
@@ -683,7 +682,35 @@ class StackedPoissonLoss:
             else:
                 x = flux[None]
             x = x * exposure
+            y = conv_fn(name, x)
+            y = sum_pool(y, factor)
+            npred = npred + jnp.clip(y, 0.0, None)
 
+        if log_norms is not None:
+            norm = jnp.exp(log_norms).reshape(
+                (n,) + (1,) * (self.background.ndim - 1)
+            )
+            npred = npred + self.background * norm
+        else:
+            npred = npred + self.background
+
+        return jax.vmap(self.loss_function)(
+            npred, self.counts, stirling=self.stirling
+        )
+
+    def _evaluate_packed_fft(self, fluxes, calibration_params):
+        """Batched forward with pair-packed convolutions.
+
+        The pair transforms run through XLA's FFT (``conv_mode="fft"``)
+        or the permuted matmul-DFT (``conv_mode="ct"``,
+        ``ops.ct_conv``); an odd tail observation falls back to a
+        single rFFT convolution in either mode.
+        """
+        n = self.counts.shape[0]
+        n_pairs = n // 2
+        fft_shape = self.fft_shape
+
+        def conv_fn(name, x):
             if self.conv_mode == "ct":
                 from ..ops.ct_conv import ct_convolve_pair
 
@@ -706,20 +733,9 @@ class StackedPoissonLoss:
                     x[-1], self.psf_ffts[name][-1], fft_shape
                 )
                 y = jnp.concatenate([y, tail[None]], axis=0)
-            y = sum_pool(y, factor)
-            npred = npred + jnp.clip(y, 0.0, None)
+            return y
 
-        if log_norms is not None:
-            norm = jnp.exp(log_norms).reshape(
-                (n,) + (1,) * (self.background.ndim - 1)
-            )
-            npred = npred + self.background * norm
-        else:
-            npred = npred + self.background
-
-        return jax.vmap(self.loss_function)(
-            npred, self.counts, stirling=self.stirling
-        )
+        return self._evaluate_batched(fluxes, calibration_params, conv_fn)
 
     def _evaluate_spatial_fft(self, fluxes, calibration_params):
         """Batched forward with the row-sharded pencil-FFT convolution.
@@ -732,45 +748,13 @@ class StackedPoissonLoss:
         """
         from ..ops.dist_fft import dist_convolve_fft
 
-        n = self.counts.shape[0]
-        if self.has_calibration:
-            shifts, log_norms = self._stack_calibration_params(
-                calibration_params
-            )
-        else:
-            shifts = None
-            log_norms = None
-
-        npred = jnp.zeros_like(self.background)
-        for idx, name in enumerate(self.component_names):
-            flux = fluxes[idx]
-            factor = self.component_factors[idx]
-            exposure = self.exposures[name]            # (N, 1, C, H', W')
-            if shifts is not None:
-                x = jax.vmap(
-                    lambda s: shift_image(flux, s, scale=factor)
-                )(shifts)
-            else:
-                x = flux[None]
-            x = x * exposure
-            y = dist_convolve_fft(
+        def conv_fn(name, x):
+            return dist_convolve_fft(
                 x, self.psf_ffts[name], self.fft_shape,
                 self.spatial_mesh, self.row_axis,
             )
-            y = sum_pool(y, factor)
-            npred = npred + jnp.clip(y, 0.0, None)
 
-        if log_norms is not None:
-            norm = jnp.exp(log_norms).reshape(
-                (n,) + (1,) * (self.background.ndim - 1)
-            )
-            npred = npred + self.background * norm
-        else:
-            npred = npred + self.background
-
-        return jax.vmap(self.loss_function)(
-            npred, self.counts, stirling=self.stirling
-        )
+        return self._evaluate_batched(fluxes, calibration_params, conv_fn)
 
     def __call__(self, fluxes, calibration_params=None):
         """Weighted sum of per-observation losses."""

@@ -570,3 +570,130 @@ def test_gmm_to_dict_constant_time():
     assert data["type"] == "inline"
     back = GaussianMixtureModel.from_dict(data)
     assert back.is_equal(inline)
+
+
+def test_mesh_sharding_failure_raises(datasets_disk):
+    # 3 observations cannot shard over a 2-device obs mesh; previously
+    # the broad fallback silently trained UNSHARDED on one device
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("obs",))
+    deco = MAPDeconvolver(
+        n_epochs=2, display_progress=False, update_strategy="joint",
+        mesh=mesh,
+    )
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=flux_init_32(), prior=UniformPrior()
+    )
+    with pytest.raises(ValueError):
+        deco.run(datasets=datasets_disk, components=components)
+
+
+def test_stop_early_with_trace_every_zero(datasets_disk):
+    # early stopping must work even when the recorded trace is disabled
+    def build():
+        components = FluxComponents()
+        components["flux-1"] = SpatialFluxComponent.from_numpy(
+            flux=flux_init_32(), prior=ExponentialPrior(alpha=1)
+        )
+        return components
+
+    datasets = {name: datasets_disk[name] for name in ["0", "1"]}
+    validation = {"2": datasets_disk["2"]}
+
+    kwargs = dict(
+        n_epochs=500, learning_rate=0.5, stop_early=True,
+        stop_early_n_average=10, display_progress=False,
+    )
+    r_ref = MAPDeconvolver(trace_every=1, **kwargs).run(
+        datasets=datasets, components=build(),
+        datasets_validation=validation,
+    )
+    r_quiet = MAPDeconvolver(trace_every=0, **kwargs).run(
+        datasets=datasets, components=build(),
+        datasets_validation=validation,
+    )
+    assert len(r_quiet.trace_loss) == 0
+    # stopped at the same point -> same trained fluxes
+    assert_allclose(r_quiet.flux_total, r_ref.flux_total, rtol=1e-6)
+
+
+def test_stop_early_scan_and_host_agree_with_thinned_trace(datasets_disk):
+    # trace_every=5 thins the RECORDED trace; the stopping rule must
+    # stay per-epoch and identical between the scan and host paths
+    def build():
+        components = FluxComponents()
+        components["flux-1"] = SpatialFluxComponent.from_numpy(
+            flux=flux_init_32(), prior=ExponentialPrior(alpha=1)
+        )
+        return components
+
+    datasets = {name: datasets_disk[name] for name in ["0", "1"]}
+    validation = {"2": datasets_disk["2"]}
+    kwargs = dict(
+        n_epochs=300, learning_rate=0.5, stop_early=True,
+        stop_early_n_average=10, display_progress=False, trace_every=5,
+        seed=3,
+    )
+    r_scan = MAPDeconvolver(scan_epochs=True, **kwargs).run(
+        datasets=datasets, components=build(),
+        datasets_validation=validation,
+    )
+    r_host = MAPDeconvolver(scan_epochs=False, **kwargs).run(
+        datasets=datasets, components=build(),
+        datasets_validation=validation,
+    )
+    assert_allclose(r_host.flux_total, r_scan.flux_total, rtol=1e-5)
+    assert len(r_host.trace_loss) == len(r_scan.trace_loss)
+
+
+def test_stop_early_prebuilt_loss_without_validation_raises(datasets_disk):
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=flux_init_32(), prior=UniformPrior()
+    )
+    deco = MAPDeconvolver(n_epochs=5, display_progress=False)
+    loss = deco.build_loss(datasets_disk, components=components)
+    deco.stop_early = True
+    with pytest.raises(ValueError, match="built without"):
+        deco.run(
+            datasets=datasets_disk, components=components,
+            datasets_validation={"2": datasets_disk["2"]},
+            total_loss=loss,
+        )
+
+
+def test_read_checkpoint_with_thinned_trace(tmp_path, datasets_gauss):
+    # trace_every=2 records every other row; read_checkpoint(epoch)
+    # must still return the state of THAT epoch, not a trace-row index
+    deco = MAPDeconvolver(
+        n_epochs=4, learning_rate=0.3, display_progress=False,
+        checkpoint_path=tmp_path, trace_every=2,
+    )
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=flux_init_32(), prior=UniformPrior()
+    )
+    result = deco.run(datasets=datasets_gauss, components=components)
+    ck3 = result.read_checkpoint(epoch=3)
+    assert_allclose(ck3.flux_total, result.flux_total, rtol=1e-5)
+    ck1 = result.read_checkpoint(epoch=1)
+    assert not np.allclose(ck1.flux_total, result.flux_total, rtol=1e-5)
+    with pytest.raises(FileNotFoundError):
+        result.read_checkpoint(epoch=99)
+
+
+def test_n_epochs_zero_returns_untrained(datasets_gauss):
+    components = FluxComponents()
+    components["flux-1"] = SpatialFluxComponent.from_numpy(
+        flux=flux_init_32(), prior=UniformPrior()
+    )
+    deco = MAPDeconvolver(
+        n_epochs=0, display_progress=False, scan_epochs=True
+    )
+    result = deco.run(datasets=datasets_gauss, components=components)
+    assert_allclose(result.flux_total, flux_init_32(), rtol=1e-6)
+    assert len(result.trace_loss) == 0
