@@ -83,9 +83,13 @@ class PoissonLoss:
     """
 
     def __init__(self, counts_all, npred_models_all, names_all):
-        if len(counts_all) != len(npred_models_all):
+        if not (
+            len(counts_all) == len(npred_models_all) == len(names_all)
+        ):
             raise ValueError(
-                "counts_all and npred_models_all must have the same length"
+                "counts_all, npred_models_all and names_all must have "
+                f"the same length, got {len(counts_all)}/"
+                f"{len(npred_models_all)}/{len(names_all)}"
             )
         self.counts_all = tuple(jnp.asarray(c, jnp.float32) for c in counts_all)
         self.npred_models_all = tuple(npred_models_all)
@@ -157,7 +161,13 @@ class PoissonLoss:
                 calibration=calibration, fft_shape=fft_shape,
             )
             npred_models_all.append(npred_models)
-            counts = np.asarray(dataset["counts"])[np.newaxis, np.newaxis]
+            counts = np.asarray(dataset["counts"])
+            # 2-D image or 3-D multiband stack (same convention as
+            # NPredModel.from_numpy)
+            if counts.ndim == 2:
+                counts = counts[np.newaxis, np.newaxis]
+            elif counts.ndim == 3:
+                counts = counts[np.newaxis]
             counts_all.append(jnp.asarray(counts, jnp.float32))
 
         return cls(
@@ -218,7 +228,15 @@ class TotalLoss:
 
     @property
     def prior_weight(self):
-        """Prior normalisation: the number of datasets."""
+        """Prior normalisation: the number of datasets.
+
+        API parity: the reference's ``prior_weight`` is likewise NOT
+        applied in its ``TotalLoss.__call__`` (reference
+        ``loss.py:253-261`` uses ``beta * sum(priors)`` unnormalised);
+        in both implementations the ``1/n_datasets`` factor lives in
+        the training loop (reference ``core.py:226``; here the
+        sequential per-dataset step in ``core.py``).
+        """
         return self.poisson_loss.n_datasets
 
     @property

@@ -500,8 +500,15 @@ class SparseSpatialFluxComponent:
 
     @classmethod
     def from_sky_coord(cls, skycoord, wcs, **kwargs):
-        """Build from astropy sky coordinates (requires astropy)."""
-        y_pos, x_pos = skycoord.to_pixel(wcs=wcs)
+        """Build from astropy sky coordinates (requires astropy).
+
+        ``SkyCoord.to_pixel`` returns ``(x, y)``; the reference unpacks
+        it as ``y_pos, x_pos`` (reference ``models/core.py:185``),
+        transposing every source position and contradicting its own
+        ``sky_coord`` property (``:135``, ``xp=x_pos``). Deliberate fix,
+        noted in ``docs/migration.md``.
+        """
+        x_pos, y_pos = skycoord.to_pixel(wcs=wcs)
         return cls.from_numpy(x_pos=x_pos, y_pos=y_pos, wcs=wcs, **kwargs)
 
     @property

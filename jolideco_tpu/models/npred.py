@@ -102,10 +102,26 @@ class NPredModel:
         by ``factor**2``, and optional exposure edge correction dividing
         by the PSF response to a unit image.
         """
-        exposure = jnp.asarray(
-            np.asarray(exposure)[np.newaxis, np.newaxis], jnp.float32
-        )
-        psf = jnp.asarray(np.asarray(psf)[np.newaxis, np.newaxis], jnp.float32)
+        def as_bchw(array):
+            # 2-D (H, W) -> (1, 1, H, W); 3-D multiband (C, H, W) ->
+            # (1, C, H, W). The reference only handles the 2-D case
+            # (its unconditional [newaxis, newaxis] makes 3-D inputs
+            # 5-D); accepting band stacks here lets multiband datasets
+            # with an "rmf" build through from_dataset_numpy.
+            array = np.asarray(array)
+            if array.ndim == 2:
+                array = array[np.newaxis, np.newaxis]
+            elif array.ndim == 3:
+                array = array[np.newaxis]
+            else:
+                raise ValueError(
+                    f"expected a 2-D image or 3-D band stack, got "
+                    f"shape {array.shape}"
+                )
+            return jnp.asarray(array, jnp.float32)
+
+        exposure = as_bchw(exposure)
+        psf = as_bchw(psf)
 
         if upsampling_factor:
             factor = int(upsampling_factor)
@@ -191,6 +207,14 @@ class NPredModels(dict):
         self.background = jnp.asarray(background, jnp.float32)
         self.calibration = calibration
         for name, model in values:
+            if name == "background":
+                # evaluate_per_component keys the dataset background
+                # under this name; a component called "background"
+                # would be silently dropped from the forward model
+                raise ValueError(
+                    "'background' is a reserved component name (it "
+                    "keys the dataset background term)"
+                )
             self[name] = model
 
     def evaluate_per_component(self, fluxes, calibration_params=None):
@@ -253,12 +277,19 @@ class NPredModels(dict):
             psf = dataset["psf"]
             if isinstance(psf, dict):
                 psf = psf[name]
+            # superset of the reference (whose from_dataset_numpy drops
+            # a dataset "rmf", reference npred.py:263-295 — the RMF is
+            # only reachable there by direct NPredModel construction)
+            rmf = dataset.get("rmf")
+            if isinstance(rmf, dict):
+                rmf = rmf[name]
 
             npred_model = NPredModel.from_numpy(
                 exposure=dataset["exposure"],
                 psf=psf,
                 upsampling_factor=component.upsampling_factor,
                 fft_shape=fft_shape,
+                rmf=rmf,
             )
             values.append((name, npred_model))
 

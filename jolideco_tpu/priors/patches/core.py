@@ -74,12 +74,16 @@ class GMMPatchPrior(Prior):
         logsumexp over components instead of max.
     patch_fraction : float
         Fraction of patches to score per evaluation (stochastic,
-        unbiased). Sampling is by whole offset class — one of the
-        ``(patch/stride)**2`` non-overlapping tilings — so fractions at
-        or below ``1/(patch/stride)**2`` are snapped to exactly one
-        class: e.g. ``patch_fraction=0.1`` with an 8x8 patch at stride
-        4 scores 1/4 of the patches, not 1/10. Fractions above that
-        threshold fall back to scoring everything.
+        unbiased). Two regimes: fractions that round to at most one
+        offset class (``round(fraction * n_groups) <= 1`` with
+        ``n_groups = (patch/stride)**2``) sample ONE whole class — a
+        non-overlapping tiling extracted with contiguous slices, the
+        TPU-fast path — so e.g. ``patch_fraction=0.1`` with an 8x8
+        patch at stride 4 scores exactly 1/4 of the patches, not 1/10.
+        Larger fractions below 1.0 keep a uniformly-drawn random
+        subset of ``round(fraction * n_patches)`` patches via a gather
+        (measured slower than exact scoring at some sizes — see
+        docs/performance.md). ``1.0`` scores everything.
     seed : int
         Host-side PRNG seed for eager evaluation.
     """
@@ -300,6 +304,16 @@ class GMMPatchPrior(Prior):
 
     def __call__(self, flux, params=None, key=None, mask=None):
         """Scalar log-prior: overlap-weighted mean of patch scores."""
+        if mask is not None:
+            # the reference accepts mask and silently ignores it (a
+            # TODO in its source, reference patches/core.py:214); be
+            # explicit and point at the mechanism that does work
+            raise NotImplementedError(
+                "mask is not implemented (the reference ignores it "
+                "too); use SpatialFluxComponent(flux_mask=...) — "
+                "masked pixels are zeroed in the forward and the "
+                "zero-flux patch filter excludes them from scoring"
+            )
         values, _, valid, _, _, subsample_scale = self._evaluate_log_like(
             flux, params=params, key=key
         )
@@ -507,7 +521,14 @@ class MultiScalePrior(Prior):
                 # reference's in-place loop (patches/core.py:310-322)
                 flux = convolve_fft(flux, self._kernels[idx])
 
-            flux_downsampled = avg_pool(flux, factor)
+            # truncate to a pool-divisible shape first (the reference's
+            # F.avg_pool2d drops the remainder rows/cols the same way;
+            # our avg_pool's reshape requires exact divisibility)
+            h, w = flux.shape[-2:]
+            flux_level = flux[
+                ..., : (h // factor) * factor, : (w // factor) * factor
+            ]
+            flux_downsampled = avg_pool(flux_level, factor)
             log_like_level = self.prior(
                 flux=flux_downsampled, params=prior_params, key=keys[idx]
             )
@@ -517,6 +538,9 @@ class MultiScalePrior(Prior):
 
     def to_dict(self):
         return dict(
+            # registry key — Prior.from_dict dispatches on it, so a
+            # serialised component with a multiscale prior reads back
+            type="multiscale-prior",
             n_levels=self.n_levels,
             weights=np.asarray(self.weights).tolist(),
             cycle_spin=self.cycle_spin,

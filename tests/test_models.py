@@ -262,3 +262,74 @@ def test_from_flux_init_datasets_oversubtracted_background():
     # log-flux parameter itself is finite
     params = component.parameters()
     assert np.isfinite(np.asarray(params["flux"])).all()
+
+
+def test_from_sky_coord_unpacks_x_y():
+    # astropy's SkyCoord.to_pixel returns (x, y); the reference unpacks
+    # it as (y, x) (reference models/core.py:185), transposing every
+    # source — a reference bug deliberately not reproduced here
+    from jolideco_tpu.models import SparseSpatialFluxComponent
+
+    class FakeSkyCoord:
+        def to_pixel(self, wcs):
+            return np.array([10.0, 3.0]), np.array([40.0, 7.0])
+
+    component = SparseSpatialFluxComponent.from_sky_coord(
+        FakeSkyCoord(), wcs=None, flux=np.array([1.0, 2.0]),
+        shape=(64, 64),
+    )
+    np.testing.assert_array_equal(component.x_pos_numpy, [10.0, 3.0])
+    np.testing.assert_array_equal(component.y_pos_numpy, [40.0, 7.0])
+
+
+def test_background_is_reserved_component_name():
+    from jolideco_tpu.models import NPredModel, NPredModels
+
+    model = NPredModel.from_numpy(
+        exposure=np.ones((8, 8)), psf=np.ones((3, 3)) / 9,
+        upsampling_factor=1,
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        NPredModels(
+            np.zeros((1, 1, 8, 8)), None, [("background", model)]
+        )
+
+
+def test_dataset_rmf_threads_through_build():
+    # superset of the reference: a dataset "rmf" reaches the forward
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.models import NPredModels
+    from jolideco_tpu.priors import UniformPrior
+
+    rng = np.random.RandomState(0)
+    n_e_in, n_e_out, size = 3, 2, 16
+    rmf = rng.dirichlet(np.ones(n_e_out), size=n_e_in).astype(np.float32)
+    dataset = {
+        "counts": np.ones((n_e_out, size, size), np.float32),
+        "psf": np.ones((n_e_in, 5, 5), np.float32) / 25,
+        "exposure": np.ones((n_e_in, size, size), np.float32),
+        "background": 0.1 * np.ones((n_e_out, size, size), np.float32),
+        "rmf": rmf,
+    }
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent(
+        flux_upsampled=np.ones((1, n_e_in, size, size), np.float32),
+        prior=UniformPrior(),
+    )
+    models = NPredModels.from_dataset_numpy(
+        dataset=dataset, components=components
+    )
+    npred = models.evaluate(components.to_flux_tuple())
+    # energy redistribution contracted n_e_in -> n_e_out bands
+    assert npred.shape[-3] == n_e_out
+    assert np.all(np.isfinite(np.asarray(npred)))
+
+    # and the full per-dataset loss builds and evaluates (multiband
+    # counts follow the same 2-D/3-D convention)
+    from jolideco_tpu.loss import PoissonLoss
+
+    per = PoissonLoss.from_datasets(
+        datasets={"obs": dataset}, components=components
+    )
+    loss = np.asarray(per.evaluate(components.to_flux_tuple()))
+    assert np.all(np.isfinite(loss))

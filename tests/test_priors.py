@@ -324,8 +324,9 @@ def test_multiscale_prior_serialization_roundtrip():
         anti_alias=False,
     )
     data = prior.to_dict()
-    # round trip through the registry entry
-    data["type"] = "multiscale-prior"
+    # to_dict must carry the registry key itself — a serialised
+    # component with a multiscale prior dispatches through it
+    assert data["type"] == "multiscale-prior"
     new = Prior.from_dict(data)
     assert isinstance(new, MultiScalePrior)
     assert new.n_levels == 3
@@ -458,3 +459,28 @@ def test_gmm_patch_prior_16x16_end_to_end():
     )
     result = deco.run(datasets=datasets, components=components)
     assert np.isfinite(result.flux_total).all()
+
+
+def test_multiscale_prior_odd_shape():
+    # the reference's F.avg_pool2d truncates non-divisible shapes; the
+    # level pooling must do the same instead of crashing in reshape
+    import jax
+
+    gmm = GaussianMixtureModel.from_registry("builtin-8x8-v1")
+    prior = MultiScalePrior(
+        prior=GMMPatchPrior(gmm=gmm, cycle_spin=False), n_levels=2,
+        cycle_spin=False,
+    )
+    flux = np.random.RandomState(0).gamma(
+        2, size=(1, 1, 33, 35)
+    ).astype(np.float32)
+    value = prior(jnp.asarray(flux), key=jax.random.PRNGKey(0))
+    assert np.isfinite(float(value))
+
+
+def test_gmm_prior_mask_not_implemented():
+    gmm = GaussianMixtureModel.from_registry("builtin-8x8-v1")
+    prior = GMMPatchPrior(gmm=gmm, cycle_spin=False)
+    flux = jnp.ones((1, 1, 32, 32))
+    with pytest.raises(NotImplementedError, match="flux_mask"):
+        prior(flux, mask=np.ones((32, 32), bool))
