@@ -5,6 +5,11 @@ Three toy generators returning ``{"counts", "psf", "exposure",
 kernels instead of astropy's (``jolideco_tpu.utils.kernels``); the
 convolution producing the expected counts uses scipy's FFT convolution,
 host-side.
+
+Non-square ``shape``/``shape_psf`` work here (identical output for
+square inputs); the reference's generators crash or silently square
+the PSF for rectangular inputs (reference ``data/core.py:58,112,117``
+— ``y_size=shape_psf[1]`` and an unbroadcastable exposure gradient).
 """
 
 import numpy as np
@@ -41,7 +46,7 @@ def point_source_gauss_psf(
     flux[shape[0] // 2, shape[1] // 2] = source_level
 
     psf = gaussian_kernel_2d(
-        sigma_psf, x_size=shape_psf[1], y_size=shape_psf[1]
+        sigma_psf, x_size=shape_psf[1], y_size=shape_psf[0]
     )
     npred = background + fftconvolve(flux * exposure, psf, mode="same")
 
@@ -70,15 +75,15 @@ def disk_source_gauss_psf(
         random_state = np.random.RandomState(None)
 
     background = background_level * np.ones(shape)
-    exposure = np.ones(shape) + 0.5 * np.linspace(-1, 1, shape[0])
+    exposure = np.ones(shape) + 0.5 * np.linspace(-1, 1, shape[1])
 
     flux = source_level * tophat_kernel_2d(
-        radius=source_radius, x_size=shape[1], y_size=shape[1],
+        radius=source_radius, x_size=shape[1], y_size=shape[0],
         mode="oversample",
     )
 
     psf = gaussian_kernel_2d(
-        sigma_psf, x_size=shape_psf[1], y_size=shape_psf[1]
+        sigma_psf, x_size=shape_psf[1], y_size=shape_psf[0]
     )
     npred = background + fftconvolve(flux * exposure, psf, mode="same")
 
@@ -116,7 +121,7 @@ def gauss_and_point_sources_gauss_psf(
     )
 
     flux = source_level * gaussian_kernel_2d(
-        source_radius, x_size=shape[1], y_size=shape[1], mode="oversample"
+        source_radius, x_size=shape[1], y_size=shape[0], mode="oversample"
     )
 
     for fraction, idx_x, idx_y in zip(
@@ -125,7 +130,7 @@ def gauss_and_point_sources_gauss_psf(
         flux[idx_y, idx_x] = fraction * source_level
 
     psf = gaussian_kernel_2d(
-        sigma_psf, x_size=shape_psf[1], y_size=shape_psf[1]
+        sigma_psf, x_size=shape_psf[1], y_size=shape_psf[0]
     )
     npred = background + fftconvolve(flux * exposure, psf, mode="same")
 

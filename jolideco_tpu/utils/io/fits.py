@@ -135,6 +135,16 @@ def flux_component_to_image_hdu(flux_component, name):
         header.update(wcs_cards)
     meta = flux_component.to_dict()
     meta.pop("wcs", None)  # written as real WCS cards above
+    norm_config = (meta.get("prior") or {}).get("norm") or {}
+    if norm_config.get("type") == "inverse-cdf":
+        # the tabulated x/cdf arrays have no FITS keyword mapping:
+        # the write would succeed and the read would fail — refuse
+        # loudly at write time instead
+        raise ValueError(
+            "a component whose prior uses InverseCDFImageNorm cannot "
+            "round-trip through FITS header keywords (the tabulated "
+            "x/cdf arrays don't fit); write '.asdf' instead"
+        )
     _meta_to_header(meta, header)
     return ImageHDU(
         header=header,
@@ -153,7 +163,9 @@ def flux_component_from_image_hdu(hdu):
     data["flux_upsampled"] = np.asarray(hdu.data)
     wcs = SimpleWCS.from_header(hdu.header)
     if wcs is not None:
-        data["wcs"] = wcs.to_header()
+        # from_dict passes a non-dict wcs through untouched — no need
+        # to round-trip it through header cards a second time
+        data["wcs"] = wcs
     return SpatialFluxComponent.from_dict(data=data)
 
 
@@ -180,7 +192,12 @@ def flux_components_from_hdulist(hdulist):
 
     flux_components = FluxComponents()
     for hdu in hdulist:
-        name = hdu.name.replace(SUFFIX_INIT, "").lower()
+        # strip only a trailing suffix: a component legitimately named
+        # e.g. "disk-initial" must not be mangled mid-word
+        name = hdu.name
+        if name.endswith(SUFFIX_INIT):
+            name = name[: -len(SUFFIX_INIT)]
+        name = name.lower()
         if name in ("config", "trace_loss", "calibrations", ""):
             continue
         if isinstance(hdu, BinTableHDU):
@@ -256,6 +273,12 @@ def _config_from_hdu(hdu):
             config[key] = int(value)
         elif isinstance(value, (np.floating, float)):
             config[key] = float(value)
+        elif str(value) == "None":
+            # _config_to_hdu stringifies non-scalar values; None-valued
+            # config entries (scan_chunk, fft_shape, mesh, ...) must
+            # read back as None, not the truthy string "None" (the
+            # ASDF path preserves None natively)
+            config[key] = None
         else:
             config[key] = str(value)
     return config
@@ -340,14 +363,16 @@ def write_map_result_to_fits(result, filename, overwrite):
             )
         )
 
+    # written independently (like the ASDF path): calibrations_init
+    # must not vanish just because the final calibrations are empty
     if result.calibrations:
         hdus.append(npred_calibrations_to_table_hdu(result.calibrations))
-        if result.calibrations_init:
-            hdus.append(
-                npred_calibrations_to_table_hdu(
-                    result.calibrations_init, name="CALIBRATIONS" + SUFFIX_INIT
-                )
+    if result.calibrations_init:
+        hdus.append(
+            npred_calibrations_to_table_hdu(
+                result.calibrations_init, name="CALIBRATIONS" + SUFFIX_INIT
             )
+        )
 
     hdus.append(_table_to_hdu(result.trace_loss, name="TRACE_LOSS"))
     hdus.append(_config_to_hdu(result.config))
@@ -373,10 +398,10 @@ def read_map_result_from_fits(filename):
     )
 
     components = flux_components_from_hdulist(
-        [h for h in hdulist if SUFFIX_INIT not in h.name]
+        [h for h in hdulist if not h.name.endswith(SUFFIX_INIT)]
     )
     components_init = flux_components_from_hdulist(
-        [h for h in hdulist if SUFFIX_INIT in h.name]
+        [h for h in hdulist if h.name.endswith(SUFFIX_INIT)]
     )
 
     calibrations = None

@@ -56,8 +56,15 @@ def _sanitize(data):
 
 
 def flux_component_to_yaml_dict(flux_component, filename, name=None):
-    """Component config dict with a sidecar data-file reference."""
+    """Component config dict with a sidecar data-file reference.
+
+    Sparse components carry their source lists inline (their
+    ``from_dict`` takes no ``flux_upsampled``); only dense image
+    components get the FITS sidecar.
+    """
     data = flux_component.to_dict()
+    if "x_pos" in data:
+        return _sanitize(data)
     path = Path(filename)
 
     if name is None:
@@ -73,7 +80,8 @@ def write_flux_component_to_yaml(flux_component, filename, overwrite):
     data = flux_component_to_yaml_dict(
         flux_component=flux_component, filename=filename
     )
-    flux_component.write(data["flux_upsampled"], overwrite=overwrite)
+    if "flux_upsampled" in data:
+        flux_component.write(data["flux_upsampled"], overwrite=overwrite)
     write_yaml(filename=filename, data=data, overwrite=overwrite)
 
 
@@ -84,15 +92,20 @@ def write_flux_components_to_yaml(flux_components, filename, overwrite):
         data[name] = flux_component_to_yaml_dict(
             flux_component=flux_component, filename=filename, name=name
         )
-        flux_component.write(data[name]["flux_upsampled"], overwrite=overwrite)
+        if "flux_upsampled" in data[name]:
+            flux_component.write(
+                data[name]["flux_upsampled"], overwrite=overwrite
+            )
     write_yaml(filename=filename, data=data, overwrite=overwrite)
 
 
 def read_flux_component_from_yaml(filename):
     """Read one flux component from YAML."""
-    from ...models import SpatialFluxComponent
+    from ...models import SparseSpatialFluxComponent, SpatialFluxComponent
 
     data = load_yaml(filename=filename)
+    if "x_pos" in data:
+        return SparseSpatialFluxComponent.from_dict(data=data)
     return SpatialFluxComponent.from_dict(data=data)
 
 

@@ -309,7 +309,11 @@ class ATanImageNorm(ImageNorm):
         return 2.0 * jnp.arctan(image / alpha) / jnp.pi
 
     def inverse(self, image, params=None):
-        return 0.5 * jnp.pi * jnp.tan(image)
+        # exact inverse of 2*atan(x/alpha)/pi. The reference's inverse
+        # is (pi/2)*tan(y) (reference utils/norms.py:331) — wrong for
+        # every input except ~0 and ignoring alpha; deliberately fixed.
+        alpha = self._get(params, "alpha")
+        return alpha * jnp.tan(0.5 * jnp.pi * image)
 
 
 class InverseCDFImageNorm(ImageNorm):

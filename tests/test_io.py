@@ -267,3 +267,87 @@ def test_asdf_lite_roundtrip(tmp_path):
     assert back["b"] == [1.0, 2.0]
     assert back["c"] == "text"
     assert (back["mask"] == tree["mask"]).all()
+
+
+def test_sparse_component_yaml_roundtrip(tmp_path):
+    # sparse components carry their source lists inline; the yaml
+    # writer used to attach a dense-only sidecar key that made the
+    # file unreadable
+    from jolideco_tpu.models import (
+        FluxComponents,
+        SparseSpatialFluxComponent,
+        SpatialFluxComponent,
+    )
+    from jolideco_tpu.priors import UniformPrior
+
+    components = FluxComponents()
+    components["points"] = SparseSpatialFluxComponent.from_numpy(
+        flux=np.array([1.5, 2.5]), x_pos=np.array([3.0, 10.0]),
+        y_pos=np.array([4.0, 11.0]), shape=(32, 32),
+    )
+    components["diffuse"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((32, 32)), prior=UniformPrior()
+    )
+    path = tmp_path / "components.yaml"
+    components.write(path, overwrite=True)
+    back = FluxComponents.read(path)
+    assert isinstance(back["points"], SparseSpatialFluxComponent)
+    np.testing.assert_allclose(
+        back["points"].x_pos_numpy, [3.0, 10.0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(back["diffuse"].flux_upsampled_numpy),
+        np.ones((32, 32)), rtol=1e-6,
+    )
+
+
+def test_inverse_cdf_norm_fits_write_refuses(tmp_path):
+    from jolideco_tpu.models import SpatialFluxComponent
+    from jolideco_tpu.priors import GMMPatchPrior, GaussianMixtureModel
+    from jolideco_tpu.utils.norms import InverseCDFImageNorm
+
+    rs = np.random.RandomState(0)
+    norm = InverseCDFImageNorm.from_image(rs.gamma(2, size=(32, 32)))
+    prior = GMMPatchPrior(
+        gmm=GaussianMixtureModel.from_registry("builtin-8x8-v1"),
+        norm=norm, cycle_spin=False,
+    )
+    component = SpatialFluxComponent.from_numpy(
+        flux=np.ones((32, 32)), prior=prior
+    )
+    with pytest.raises(ValueError, match="asdf"):
+        component.write(tmp_path / "c.fits", overwrite=True)
+    # the asdf path carries the tabulated norm fine
+    component.write(tmp_path / "c.asdf", overwrite=True)
+    back = SpatialFluxComponent.read(tmp_path / "c.asdf")
+    assert type(back.prior.norm).__name__ == "InverseCDFImageNorm"
+
+
+def test_config_none_fits_roundtrip(tmp_path):
+    from jolideco_tpu.utils.io.fits import _config_from_hdu, _config_to_hdu
+
+    config = {"scan_chunk": None, "n_epochs": 5, "beta": 1.0,
+              "update_strategy": "joint", "flag": True}
+    back = _config_from_hdu(_config_to_hdu(config))
+    assert back["scan_chunk"] is None
+    assert back["n_epochs"] == 5 and back["flag"] is True
+    assert back["update_strategy"] == "joint"
+
+
+def test_component_name_containing_init_not_mangled(
+    tmp_path, deconvolver_result_like=None
+):
+    from jolideco_tpu.models import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu.priors import UniformPrior
+    from jolideco_tpu.utils.io.fits import (
+        flux_components_from_hdulist,
+        flux_components_to_hdulist,
+    )
+
+    components = FluxComponents()
+    components["disk-initial"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((16, 16)), prior=UniformPrior()
+    )
+    hdus = flux_components_to_hdulist(components)
+    back = flux_components_from_hdulist(hdus)
+    assert list(back) == ["disk-initial"]

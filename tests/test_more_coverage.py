@@ -236,3 +236,34 @@ def test_overwrite_protection(tmp_path):
     with pytest.raises(OSError):
         component.write(path, overwrite=False)
     component.write(path, overwrite=True)
+
+
+def test_data_generators_non_square_shapes():
+    """Rectangular shape/shape_psf produce correctly-shaped datasets
+    (the reference crashes or silently squares the PSF for these —
+    reference data/core.py:58,112,117); square outputs are unchanged."""
+    from jolideco_tpu.data import (
+        disk_source_gauss_psf,
+        gauss_and_point_sources_gauss_psf,
+        point_source_gauss_psf,
+    )
+
+    rs = np.random.RandomState(0)
+    d = point_source_gauss_psf(
+        shape=(32, 48), shape_psf=(9, 17), random_state=rs
+    )
+    assert d["counts"].shape == (32, 48)
+    assert d["psf"].shape == (9, 17)
+
+    d = disk_source_gauss_psf(
+        shape=(32, 48), shape_psf=(9, 17), random_state=rs
+    )
+    assert d["counts"].shape == (32, 48)
+    assert d["exposure"].shape == (32, 48)
+    assert d["psf"].shape == (9, 17)
+
+    d = gauss_and_point_sources_gauss_psf(
+        shape=(48, 32), shape_psf=(17, 9), random_state=rs
+    )
+    assert d["counts"].shape == (48, 32)
+    assert d["psf"].shape == (17, 9)

@@ -122,3 +122,43 @@ def test_inverse_cdf_norm_roundtrip():
     rebuilt = ImageNorm.from_dict(data)
     x = rs.gamma(2, size=(8, 8)).astype(np.float32)
     assert_allclose(np.asarray(norm(x)), np.asarray(rebuilt(x)), rtol=1e-6)
+
+
+def test_image_norm_inverse_roundtrips():
+    """inverse(call(x)) == x for every norm implementing inverse.
+
+    Pins the corrected ATan inverse (the reference's is
+    (pi/2)*tan(y), wrong for every input except ~0 and ignoring
+    alpha — reference utils/norms.py:331; docs/migration.md note).
+    """
+    import jax.numpy as jnp
+    from numpy.testing import assert_allclose
+
+    from jolideco_tpu.utils.norms import (
+        ASinhImageNorm,
+        ATanImageNorm,
+        FixedMaxImageNorm,
+        IdentityImageNorm,
+        LogImageNorm,
+        PowerImageNorm,
+        SigmoidImageNorm,
+    )
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.gamma(2, size=(16, 16)), jnp.float32)
+    norms = [
+        IdentityImageNorm(),
+        ASinhImageNorm(alpha=0.7, beta=1.3),
+        FixedMaxImageNorm(max_value=7.0),
+        SigmoidImageNorm(alpha=2.0),
+        ATanImageNorm(alpha=1.0),
+        ATanImageNorm(alpha=2.5),
+        LogImageNorm(alpha=0.5),
+        PowerImageNorm(alpha=2.0),
+    ]
+    for norm in norms:
+        back = np.asarray(norm.inverse(norm(x)))
+        assert_allclose(
+            back, np.asarray(x), rtol=2e-3,
+            err_msg=type(norm).__name__,
+        )
