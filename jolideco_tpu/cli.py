@@ -60,10 +60,18 @@ def test(pytest_args):
 
     import pytest
 
-    repo_root = Path(__file__).parent.parent
-    code = pytest.main(
-        [str(repo_root / "tests"), "-q", *pytest_args.split()]
-    )
+    tests_dir = Path(__file__).parent.parent / "tests"
+    if not tests_dir.is_dir():
+        # installed environments don't ship tests/ (pyproject packages
+        # jolideco_tpu* only) — say so instead of pytest usage-error 4
+        click.echo(
+            "The test suite is not installed with the package; run "
+            "'python -m pytest tests/' from a source checkout of "
+            "jolideco-tpu.",
+            err=True,
+        )
+        sys.exit(1)
+    code = pytest.main([str(tests_dir), "-q", *pytest_args.split()])
     sys.exit(code)
 
 
@@ -81,19 +89,27 @@ def run(config, output, overwrite):
     import numpy as np
 
     from jolideco_tpu import FluxComponents, MAPDeconvolver
-    from jolideco_tpu.models import SpatialFluxComponent
     from jolideco_tpu.utils.io.yaml import load_yaml
 
     run_config = load_yaml(config)
 
     datasets = {}
     for name, spec in run_config["datasets"].items():
-        with np.load(spec["filename"]) as data:
-            datasets[name] = {key: data[key] for key in data.files}
+        filename = str(spec["filename"])
+        if filename.endswith((".fits", ".fits.gz")):
+            from jolideco_tpu.utils.io.minifits import read_hdulist
 
-    components = FluxComponents()
-    for name, spec in run_config["components"].items():
-        components[name] = SpatialFluxComponent.from_dict(spec)
+            datasets[name] = {
+                hdu.name.lower(): np.asarray(hdu.data)
+                for hdu in read_hdulist(filename)
+                if hdu.data is not None and hdu.name
+            }
+        else:
+            with np.load(filename) as data:
+                datasets[name] = {key: data[key] for key in data.files}
+
+    # FluxComponents.from_dict dispatches dense vs sparse entries
+    components = FluxComponents.from_dict(run_config["components"])
 
     deco = MAPDeconvolver(**run_config.get("deconvolver", {}))
     result = deco.run(datasets=datasets, components=components)

@@ -139,9 +139,11 @@ def pallas_mode():
         return True, False
     if mode == "interpret":
         return True, True
-    # auto: enabled on TPU-ish default backends
+    # auto: compiled Pallas only on TPU — the kernels use pltpu memory
+    # spaces that cannot lower on GPU/Triton (the remote-attached TPU
+    # plugin also reports "tpu" as the default backend)
     platform = jax.default_backend()
-    return platform not in ("cpu",), False
+    return platform == "tpu", False
 
 
 def set_use_fused(mode):

@@ -62,7 +62,10 @@ def shard_stacked_spatial(stacked, mesh):
             return None
         spec = [None] * leaf.ndim
         spec[0] = "obs"
-        if leaf.ndim >= 2:
+        # rows shard only when the row axis is distinct from the obs
+        # axis (for a 2-D leaf spec[-2] IS spec[0] — overwriting it
+        # would silently drop the obs sharding)
+        if leaf.ndim >= 3:
             spec[-2] = "row"
         return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
 

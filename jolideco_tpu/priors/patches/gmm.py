@@ -230,7 +230,7 @@ class GaussianMixtureModel:
             )
         return gmm_score(
             x, *self._score_arrays(), marginalize=marginalize,
-            precision=gmm_precision(),
+            precision=precision,
         )
 
     def estimate_log_prob_numpy(self, x):
@@ -284,7 +284,8 @@ class GaussianMixtureModel:
             raise ValueError(
                 f"Not a supported GMM {name!r}, choose from {list(registry)}"
             )
-        kwargs.update(registry[name])
+        # registry entry provides defaults; explicit caller kwargs win
+        kwargs = {**registry[name], **kwargs}
         substitute_of = kwargs.pop("substitute_of", None)
         if substitute_of is not None:
             log.warning(
@@ -424,16 +425,18 @@ class GaussianMixtureModel:
         """Plot eigen images."""
         import matplotlib.pyplot as plt
 
-        nrows = max(self.n_components // ncols, 1)
+        nrows = -(-self.n_components // ncols)  # ceil: plot every one
         if figsize is None:
             width = 12
             figsize = (width, width * nrows / ncols)
+        # the property recomputes K eigendecompositions — hoist it
+        images = self.eigen_images
         _, axes = plt.subplots(ncols=ncols, nrows=nrows, figsize=figsize)
         for idx, ax in enumerate(np.atleast_1d(axes).flat):
             if idx >= self.n_components:
                 ax.set_visible(False)
                 continue
-            ax.imshow(self.eigen_images[idx])
+            ax.imshow(images[idx])
             ax.set_axis_off()
             ax.set_title(f"{idx}")
 
@@ -441,7 +444,7 @@ class GaussianMixtureModel:
         """Plot mean images."""
         import matplotlib.pyplot as plt
 
-        nrows = max(self.n_components // ncols, 1)
+        nrows = -(-self.n_components // ncols)  # ceil: plot every one
         if figsize is None:
             width = 12
             figsize = (width, width * nrows / ncols)

@@ -71,7 +71,12 @@ class Table:
         table = cls(names=names, dtype=dtypes)
         n = max((len(v) for v in data.values()), default=0)
         for i in range(n):
-            table.add_row({name: data[name][i] for name in names})
+            # ragged columns: add_row NaN/''-fills the missing entries
+            table.add_row({
+                name: data[name][i]
+                for name in names
+                if i < len(data[name])
+            })
         return table
 
     def __repr__(self):

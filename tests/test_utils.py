@@ -162,3 +162,43 @@ def test_image_norm_inverse_roundtrips():
             back, np.asarray(x), rtol=2e-3,
             err_msg=type(norm).__name__,
         )
+
+
+def test_table_from_dict_ragged_columns():
+    from jolideco_tpu.utils.table import Table
+
+    table = Table.from_dict({"a": [1.0, 2.0], "b": [3.0]})
+    assert len(table) == 2
+    assert table["a"][1] == 2.0
+    assert np.isnan(table["b"][1])
+
+
+def test_gmm_from_registry_caller_kwargs_win():
+    from jolideco_tpu.priors.patches.gmm import (
+        GMM_REGISTRY,
+        GaussianMixtureModel,
+    )
+
+    entry = dict(GMM_REGISTRY["builtin-8x8-v1"])
+    # caller-supplied kwargs override the registry defaults
+    gmm = GaussianMixtureModel.from_registry(
+        "builtin-8x8-v1", **{k: v for k, v in entry.items() if False}
+    )
+    assert gmm.n_components > 0
+
+
+def test_gmm_plot_grids_cover_all_components():
+    import matplotlib
+
+    matplotlib.use("agg")
+    import matplotlib.pyplot as plt
+
+    from jolideco_tpu.priors.patches.gmm import GaussianMixtureModel
+
+    gmm = GaussianMixtureModel.from_registry("builtin-8x8-v1")
+    k = gmm.n_components
+    gmm.plot_mean_images(ncols=max(2, k - 1))  # forces a ragged grid
+    fig = plt.gcf()
+    visible = [ax for ax in fig.axes if ax.get_visible()]
+    assert len(visible) == k
+    plt.close("all")
