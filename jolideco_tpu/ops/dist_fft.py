@@ -61,8 +61,18 @@ def spatial_fft_shape(image_shape, kernel_shape, n_row_shards):
 def _pipeline(x, kft, fft_shape, mesh, row_axis, n_rows):
     """The sharded pipeline body (linear in ``x``)."""
     fh, fw = fft_shape
-    fwh = fw // 2 + 1
     del n_rows  # divisibility validated in _dist_impl
+    if x.ndim < 3 or kft.ndim != x.ndim:
+        # the partition specs index axis 0 (obs) and axis -2 (row)
+        # independently — for a 2-D x they alias, silently replacing
+        # the obs sharding, and a rank-mismatched kft gets a wrong-rank
+        # spec with a misleading trace error downstream
+        raise ValueError(
+            "dist_convolve_fft needs x with a leading batch axis "
+            "(ndim >= 3) and kft of the same rank; got "
+            f"x.ndim={x.ndim}, kft.ndim={kft.ndim}. Reshape 2-D "
+            "inputs to (1, H, W) / (1, Fh, Fwh)."
+        )
     h, w = x.shape[-2], x.shape[-1]  # global (pre-shard) image dims
 
     def body(x, kft):

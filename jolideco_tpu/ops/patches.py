@@ -11,6 +11,8 @@ out row-major over the grid of top-left corners — identical to
 ``unfold(-2).unfold(-1).reshape(-1, p*p)`` in the reference.
 """
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -56,11 +58,6 @@ def extract_patches_at(image, idy, idx, shape):
     cols = idx[:, None, None] + dx[None, None, :]
     patches = image[rows, cols]
     return patches.reshape((-1, ph * pw))
-
-
-from functools import partial
-
-import jax
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
@@ -342,8 +339,13 @@ def random_patch_indices(key, image_shape, shape, stride):
     jitter_x = jax.random.randint(kx, (len(base_x),), -overlap, overlap + 1)
     jitter_y = jax.random.randint(ky, (len(base_y),), -overlap, overlap + 1)
 
-    idx = jnp.asarray(base_x) + jitter_x
-    idy = jnp.asarray(base_y) + jitter_y
+    # clip jittered corners into the valid range: the raw grid can
+    # jitter past n - patch for many image sizes (the reference xfails
+    # these as known-broken — torch errors there, while a JAX gather
+    # would silently CLAMP row/col indices, feeding degenerate
+    # duplicated-edge patches to the prior)
+    idx = jnp.clip(jnp.asarray(base_x) + jitter_x, 0, nx - shape[-1])
+    idy = jnp.clip(jnp.asarray(base_y) + jitter_y, 0, ny - shape[-2])
     idy, idx = jnp.meshgrid(idy, idx, indexing="ij")
     return idy.ravel(), idx.ravel()
 

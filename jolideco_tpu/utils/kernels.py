@@ -32,6 +32,19 @@ def _grid(x_size, y_size, oversample=1):
     return (x - cx), (y - cy)
 
 
+def _mode_factor(mode, oversample):
+    if mode == "oversample":
+        return int(oversample)
+    if mode == "center":
+        return 1
+    # an unrecognised mode (e.g. astropy's "integrate", or a typo)
+    # must not silently sample centers only
+    raise ValueError(
+        f"Unsupported kernel mode {mode!r}; choose 'center' or "
+        "'oversample'"
+    )
+
+
 def gaussian_kernel_2d(sigma, x_size=None, y_size=None, mode="center",
                        oversample=10):
     """Normalised 2-D Gaussian kernel.
@@ -47,7 +60,7 @@ def gaussian_kernel_2d(sigma, x_size=None, y_size=None, mode="center",
     x_size = x_size or _default_size(sigma)
     y_size = y_size or x_size
 
-    factor = oversample if mode == "oversample" else 1
+    factor = _mode_factor(mode, oversample)
     dx, dy = _grid(x_size, y_size, factor)
 
     gx = np.exp(-(dx**2) / (2 * sigma**2)).mean(axis=1)
@@ -64,10 +77,15 @@ def tophat_kernel_2d(radius, x_size=None, y_size=None, mode="oversample",
     ``data/core.py:115-119``) anti-aliases the disk edge by subpixel
     averaging.
     """
-    x_size = x_size or (2 * int(radius) + 1)
+    # astropy sizing: round 2*radius up, then up to odd — a truncating
+    # 2*int(radius)+1 would clip the disk's outer ring for fractional
+    # radii and silently redistribute the missing flux
+    if x_size is None:
+        x_size = int(np.ceil(2 * radius))
+        x_size += 1 - x_size % 2
     y_size = y_size or x_size
 
-    factor = oversample if mode == "oversample" else 1
+    factor = _mode_factor(mode, oversample)
     cx = (x_size - 1) / 2
     cy = (y_size - 1) / 2
     step = 1.0 / factor

@@ -535,3 +535,60 @@ def test_convolve_fft_packed_pair_custom_vjp_matches_autodiff():
         jax.grad(loss_custom, argnums=(0, 1)), (x0, x1), ones
     )
     assert np.isfinite(np.asarray(hvp[0])).all()
+
+
+def test_jittered_patches_stay_in_bounds():
+    """Jittered corners clip into [0, n - p]: image sizes where the
+    raw grid jitters past the edge (the reference xfails these as
+    known-broken) must produce real patches, not JAX's silent
+    OOB-clamped duplicated-edge gathers."""
+    import jax
+
+    from jolideco_tpu.ops.patches import (
+        random_patch_indices,
+        view_as_random_overlapping_patches,
+    )
+
+    for n in (101, 130, 128):
+        idy, idx = random_patch_indices(
+            jax.random.PRNGKey(0), (n, n), shape=(8, 8), stride=4
+        )
+        assert int(idy.min()) >= 0 and int(idx.min()) >= 0
+        assert int(idy.max()) <= n - 8 and int(idx.max()) <= n - 8
+
+        image = jnp.arange(n * n, dtype=jnp.float32).reshape(n, n)
+        patches = view_as_random_overlapping_patches(
+            jax.random.PRNGKey(1), image, shape=(8, 8), stride=4
+        )
+        assert np.isfinite(np.asarray(patches)).all()
+
+
+def test_kernel_mode_validation_and_tophat_sizing():
+    from jolideco_tpu.utils.kernels import (
+        gaussian_kernel_2d,
+        tophat_kernel_2d,
+    )
+
+    with pytest.raises(ValueError, match="mode"):
+        gaussian_kernel_2d(2.0, x_size=9, mode="integrate")
+    with pytest.raises(ValueError, match="mode"):
+        tophat_kernel_2d(2.0, mode="oversampled")
+
+    # astropy sizing: 2*2.6 = 5.2 rounds up to 7, not down to 5
+    kernel = tophat_kernel_2d(2.6)
+    assert kernel.shape == (7, 7)
+    # the outer ring is present (corner-adjacent ring pixels nonzero)
+    assert kernel[0, 3] > 0
+
+
+def test_dist_convolve_fft_rejects_2d_input():
+    import jax
+
+    from jolideco_tpu.ops.dist_fft import dist_convolve_fft
+
+    devices = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = jax.sharding.Mesh(devices, ("obs", "row"))
+    x = jnp.ones((16, 16))
+    kft = jnp.ones((20, 12), jnp.complex64)
+    with pytest.raises(ValueError, match="ndim >= 3"):
+        dist_convolve_fft(x, kft, (20, 22), mesh)
