@@ -120,6 +120,12 @@ def shard_stacked_spatial(stacked, mesh):
         value = getattr(stacked, attr)
         if value is not None:
             setattr(new, attr, jax.device_put(value, obs_only))
+    if stacked.rmfs is not None:
+        # (N, C, K) redistribution matrices: the channel axes stay
+        # replicated (spec[-2]="row" would wrongly split channels)
+        new.rmfs = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, obs_only), stacked.rmfs,
+        )
     for attr in ("dft_tables", "ct_tables"):
         value = getattr(stacked, attr)
         if value is not None:

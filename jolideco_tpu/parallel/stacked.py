@@ -66,6 +66,12 @@ class StackedPoissonLoss:
     upsampled PSF before precomputing the convolution spectra (all conv
     modes), so every evaluate path sees the scaled kernel with no
     per-step warp. ``psf_scales`` is retained for introspection only.
+
+    Datasets carrying an ``rmf`` (energy redistribution, reference
+    ``models/npred.py:184-188``) stack to one ``(N, C, K)`` matrix per
+    component (``rmfs``); every evaluate path folds it with a batched
+    einsum between the sum-pool and the clip, matching the per-dataset
+    chain exactly.
     """
 
     loss_function = staticmethod(poisson_nll)
@@ -78,7 +84,7 @@ class StackedPoissonLoss:
                  ct_tables=None, ct_fft_shape=None, ct_pair_kernels=None,
                  ct_singles=None,
                  sharded=False, static_shifts=None, static_log_norms=None,
-                 spatial_mesh=None, row_axis="row"):
+                 spatial_mesh=None, row_axis="row", rmfs=None):
         self.counts = counts
         self.background = background
         self.exposures = dict(exposures)
@@ -125,6 +131,8 @@ class StackedPoissonLoss:
         # (partially) frozen and therefore absent from the params pytree
         self.static_shifts = static_shifts
         self.static_log_norms = static_log_norms
+        # energy redistribution: component name -> (N, C, K) matrices
+        self.rmfs = dict(rmfs) if rmfs else None
 
     @property
     def n_datasets(self):
@@ -169,6 +177,47 @@ class StackedPoissonLoss:
                 f"Stacked observations need one common counts shape, got "
                 f"{shapes}"
             )
+        # energy redistribution ("rmf", threaded per component by the
+        # per-dataset NPredModels.from_dataset_numpy) stacks to one
+        # (N, C, K) matrix per component and is folded with an einsum
+        # after the sum-pool in every evaluate path — matching the
+        # per-dataset chain conv -> sum-pool -> RMF -> clip
+        # (models/npred.py:184-188). Mixed presence raises so
+        # MAPDeconvolver._build_total_loss falls back to the
+        # per-dataset forward models instead of silently training a
+        # different physical model.
+        rmf_present = ["rmf" in d for d in datasets.values()]
+        rmfs = None
+        if any(rmf_present):
+            if not all(rmf_present):
+                raise ValueError(
+                    "some datasets carry an 'rmf' and others do not; "
+                    "the stacked path needs a homogeneous stack"
+                )
+            rmfs = {}
+            for name in components:
+                mats = []
+                for dataset in datasets.values():
+                    rmf = dataset["rmf"]
+                    if isinstance(rmf, dict):
+                        rmf = rmf[name]
+                    mats.append(np.asarray(rmf, np.float32))
+                rmf_shapes = {m.shape for m in mats}
+                if len(rmf_shapes) != 1 or mats[0].ndim != 2:
+                    raise ValueError(
+                        f"stacked observations need one common 2-D rmf "
+                        f"shape per component, got {rmf_shapes} for "
+                        f"component {name!r}"
+                    )
+                rmfs[name] = jnp.asarray(np.stack(mats))
+            counts_shape = next(iter(shapes))
+            n_out = counts_shape[-3] if len(counts_shape) >= 3 else 1
+            k_out = {m.shape[-1] for m in rmfs.values()}
+            if k_out != {n_out}:
+                raise ValueError(
+                    f"rmf output channels {k_out} do not match the "
+                    f"counts channel axis ({n_out})"
+                )
 
         # calibrations first: the static psf_scale zoom must be baked
         # into the precomputed convolution spectra below (the reference
@@ -516,6 +565,7 @@ class StackedPoissonLoss:
             ct_singles=ct_singles or None,
             static_shifts=static_shifts,
             static_log_norms=static_log_norms,
+            rmfs=rmfs,
         )
 
     # ------------------------------------------------------------------
@@ -556,24 +606,33 @@ class StackedPoissonLoss:
         dft_tables = self.dft_tables
         ct_tables = self.ct_tables
         has_calibration = self.has_calibration
+        has_rmf = self.rmfs is not None
+        group = 3 if has_rmf else 2
 
         def per_obs(counts, background, shift, log_norm, stirling,
                     *obs_arrays):
             npred = jnp.zeros_like(background)
             for idx, flux in enumerate(fluxes):
-                exposure = obs_arrays[2 * idx]
-                kernel = obs_arrays[2 * idx + 1]
+                exposure = obs_arrays[group * idx]
+                kernel = obs_arrays[group * idx + 1]
                 x = flux
                 if has_calibration:
                     x = shift_image(x, shift, scale=factors[idx])
                 x = x * exposure
                 if direct:
+                    # grouped conv: each (band) channel convolves with
+                    # its own kernel (single-channel kernels broadcast)
+                    lead = x.shape[:-2]
+                    lhs = x.reshape((1, -1) + x.shape[-2:])
+                    rhs = jnp.broadcast_to(
+                        kernel, lead + kernel.shape[-2:]
+                    ).reshape((-1, 1) + kernel.shape[-2:])
                     x = jax.lax.conv_general_dilated(
-                        x.reshape((1, 1) + x.shape[-2:]),
-                        kernel.reshape((1, 1) + kernel.shape[-2:]),
+                        lhs, rhs,
                         window_strides=(1, 1),
                         padding="SAME",
                         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                        feature_group_count=lhs.shape[1],
                     ).reshape(x.shape)
                 elif mxu:
                     from ..ops.fft_mxu import mxu_convolve
@@ -589,6 +648,12 @@ class StackedPoissonLoss:
                 else:
                     x = convolve_fft_precomputed(x, kernel, fft_shape)
                 x = sum_pool(x, factors[idx])
+                if has_rmf:
+                    # energy redistribution after the sum-pool, before
+                    # the clip (per-dataset chain, models/npred.py:184)
+                    x = jnp.einsum(
+                        "...chw,ck->...khw", x, obs_arrays[group * idx + 2]
+                    )
                 npred = npred + jnp.clip(x, 0.0, None)
             if has_calibration:
                 npred = npred + background * jnp.exp(log_norm)
@@ -622,8 +687,12 @@ class StackedPoissonLoss:
             log_norms = jnp.zeros((n, 1), jnp.float32)
 
         obs_arrays = []
-        for exposure, kernel in zip(exposures, kernels):
+        for name, exposure, kernel in zip(
+            self.component_names, exposures, kernels
+        ):
             obs_arrays.extend([exposure, kernel])
+            if self.rmfs is not None:
+                obs_arrays.append(self.rmfs[name])
         return (self.counts, self.background, shifts, log_norms,
                 self.stirling, *obs_arrays)
 
@@ -684,6 +753,11 @@ class StackedPoissonLoss:
             x = x * exposure
             y = conv_fn(name, x)
             y = sum_pool(y, factor)
+            if self.rmfs is not None:
+                # per-observation energy redistribution between the
+                # sum-pool and the clip (models/npred.py:184-188); the
+                # channel contraction keeps any H/W row sharding intact
+                y = jnp.einsum("n...chw,nck->n...khw", y, self.rmfs[name])
             npred = npred + jnp.clip(y, 0.0, None)
 
         if log_norms is not None:
@@ -785,7 +859,7 @@ class StackedPoissonLoss:
         new = _copy.copy(self)
         for attr in ("counts", "background", "exposures", "psf_ffts",
                      "psfs", "ct_singles", "stirling", "static_shifts",
-                     "static_log_norms"):
+                     "static_log_norms", "rmfs"):
             value = getattr(self, attr)
             if value is not None:
                 setattr(new, attr, shard_stacked(value, mesh))
@@ -827,7 +901,7 @@ register_pytree(
     children_attrs=("counts", "background", "exposures", "psf_ffts", "psfs",
                     "stirling", "dft_tables", "pair_kernels",
                     "ct_tables", "ct_pair_kernels", "ct_singles",
-                    "static_shifts", "static_log_norms"),
+                    "static_shifts", "static_log_norms", "rmfs"),
     aux_attrs=(
         "names_all",
         "component_factors",

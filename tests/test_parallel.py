@@ -912,3 +912,256 @@ def test_stacked_multiband_matches_per_dataset():
     assert_allclose(
         np.asarray(g_stacked), np.asarray(g_seq), rtol=1e-4, atol=1e-6
     )
+
+
+# ----------------------------------------------------------------------
+# energy redistribution (rmf) on the stacked path
+# (reference models/npred.py:184-188; the per-dataset chain is
+# conv -> sum-pool -> RMF -> clip, per component)
+
+def _rmf_datasets(n=4, c=2, k=None, h=16, rmf_kind="square", seed=0):
+    rng = np.random.RandomState(seed)
+    k = c if k is None else k
+    psf = rng.uniform(0, 1, (5, 5)).astype(np.float32)
+    psf /= psf.sum()
+    if rmf_kind == "scalar":
+        rmf = np.array([[0.9]], np.float32)
+    elif rmf_kind == "square":
+        rmf = np.array([[0.7, 0.3], [0.2, 0.8]], np.float32)[:c, :k]
+    else:  # nonsquare: c input channels -> k output channels
+        rmf = rng.uniform(0.1, 0.9, (c, k)).astype(np.float32)
+        rmf /= rmf.sum(axis=1, keepdims=True)
+    datasets = {}
+    for i in range(n):
+        in_shape = (h, h) if c == 1 else (c, h, h)
+        out_shape = (h, h) if k == 1 and c == 1 else (k, h, h)
+        psf_c = psf if c == 1 else np.stack([psf] * c)
+        datasets[f"o{i}"] = {
+            "counts": rng.poisson(3.0, out_shape).astype(np.float32),
+            "background": np.full(out_shape, 0.5, np.float32),
+            "exposure": rng.uniform(0.8, 1.2, in_shape).astype(np.float32),
+            "psf": psf_c,
+            "rmf": rmf,
+        }
+    return datasets
+
+
+def _single_flux_components(h=16, seed=0):
+    rng = np.random.RandomState(seed)
+    components = FluxComponents()
+    components["c0"] = SpatialFluxComponent.from_numpy(
+        flux=rng.uniform(0.5, 2.0, (h, h)).astype(np.float32)
+    )
+    return components
+
+
+@pytest.mark.parametrize("conv_mode", ["fft", "ct", "mxu", "direct"])
+@pytest.mark.parametrize("rmf_kind, c, k", [
+    ("scalar", 1, 1),
+    ("square", 2, 2),
+    ("nonsquare", 2, 3),
+])
+def test_stacked_rmf_matches_per_dataset(conv_mode, rmf_kind, c, k):
+    """Every stacked conv backend folds dataset RMFs identically to the
+    per-dataset forward models — values and flux gradients."""
+    datasets = _rmf_datasets(c=c, k=k, rmf_kind=rmf_kind)
+    components = _single_flux_components()
+    fluxes = components.to_flux_tuple()
+
+    per_dataset = PoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode=conv_mode
+    )
+    assert stacked.rmfs is not None
+    assert stacked.rmfs["c0"].shape == (4, c, k)
+
+    assert_allclose(
+        np.asarray(stacked.evaluate(fluxes)),
+        np.asarray(per_dataset.evaluate(fluxes)),
+        rtol=1e-4,
+    )
+
+    def total(loss, flux):
+        return jnp.sum(loss.evaluate((flux,)))
+
+    g_stacked = jax.grad(total, argnums=1)(stacked, fluxes[0])
+    g_seq = jax.grad(total, argnums=1)(per_dataset, fluxes[0])
+    assert_allclose(
+        np.asarray(g_stacked), np.asarray(g_seq), rtol=2e-4, atol=1e-6
+    )
+
+
+def test_stacked_rmf_changes_the_loss():
+    """Guard against the einsum silently not running: dropping the rmf
+    must change the stacked loss."""
+    datasets = _rmf_datasets(rmf_kind="scalar", c=1)
+    components = _single_flux_components()
+    fluxes = components.to_flux_tuple()
+    with_rmf = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    for d in datasets.values():
+        d.pop("rmf")
+    without = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    a = float(jnp.sum(with_rmf.evaluate(fluxes)))
+    b = float(jnp.sum(without.evaluate(fluxes)))
+    assert abs(a - b) > 1e-3
+
+
+def test_stacked_rmf_per_component_dict():
+    """dataset['rmf'] may be a dict keyed by component name (the
+    per-dataset path accepts the same form)."""
+    datasets = _rmf_datasets(c=2, k=2, rmf_kind="square")
+    for d in datasets.values():
+        d["rmf"] = {"c0": d["rmf"]}
+    components = _single_flux_components()
+    fluxes = components.to_flux_tuple()
+    per_dataset = PoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    assert_allclose(
+        np.asarray(stacked.evaluate(fluxes)),
+        np.asarray(per_dataset.evaluate(fluxes)),
+        rtol=1e-4,
+    )
+
+
+def test_stacked_rmf_evaluate_dataset():
+    """The O(1) single-observation path folds the rmf too (sequential
+    update strategy over a stacked loss)."""
+    datasets = _rmf_datasets(c=2, k=2)
+    components = _single_flux_components()
+    fluxes = components.to_flux_tuple()
+    per_dataset = PoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    for idx in range(len(datasets)):
+        assert_allclose(
+            float(stacked.evaluate_dataset(idx, fluxes)),
+            float(per_dataset.evaluate_dataset(idx, fluxes)),
+            rtol=1e-4,
+        )
+
+
+def test_stacked_rmf_sharded_matches_unsharded():
+    datasets = _rmf_datasets(n=8, c=2, k=2)
+    components = _single_flux_components()
+    fluxes = components.to_flux_tuple()
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    expected = np.asarray(stacked.evaluate(fluxes))
+    sharded = stacked.shard(make_obs_mesh())
+    got = np.asarray(jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes))
+    assert_allclose(got, expected, rtol=1e-5)
+
+    def total(s, flux):
+        return jnp.sum(s.evaluate((flux,)))
+
+    g1 = jax.grad(total, argnums=1)(stacked, fluxes[0])
+    g2 = jax.jit(jax.grad(total, argnums=1))(sharded, fluxes[0])
+    assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-4, atol=1e-6)
+
+
+def test_stacked_rmf_spatial_mesh_matches():
+    """RMF einsum under the 2-D (obs, row) pencil-FFT mesh: channel
+    contraction is row-sharding-neutral; values and grads match."""
+    from jolideco_tpu.parallel import make_obs_row_mesh, shard_stacked_spatial
+
+    datasets = _rmf_datasets(n=2, c=2, k=2)
+    components = _single_flux_components()
+    fluxes = components.to_flux_tuple()
+    probe = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fh, fw = probe.fft_shape
+    while (fw // 2 + 1) % 4:
+        fw += 1
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, fft_shape=(fh, fw)
+    )
+    expected = np.asarray(jax.jit(stacked.evaluate)(fluxes))
+    sharded = shard_stacked_spatial(stacked, make_obs_row_mesh(2, 4))
+    got = np.asarray(jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes))
+    assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+    g1 = jax.grad(lambda f: jnp.sum(stacked.evaluate((f,))))(fluxes[0])
+    g2 = jax.jit(
+        jax.grad(lambda f, s=sharded: jnp.sum(s.evaluate((f,))))
+    )(fluxes[0])
+    assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-5)
+
+
+def test_stacked_rmf_mixed_presence_raises_and_joint_falls_back(caplog):
+    """Some-but-not-all datasets with an rmf cannot stack; the joint
+    strategy must fall back to the per-dataset models (which fold each
+    dataset's rmf correctly) instead of silently dropping physics."""
+    import logging
+
+    datasets = _rmf_datasets(c=1, rmf_kind="scalar")
+    datasets["o3"].pop("rmf")
+    components = _single_flux_components()
+    with pytest.raises(ValueError, match="rmf"):
+        StackedPoissonLoss.from_datasets(
+            datasets=datasets, components=components
+        )
+
+    deco = MAPDeconvolver(n_epochs=1, update_strategy="joint")
+    with caplog.at_level(logging.WARNING):
+        total_loss = deco._build_total_loss(
+            datasets, None, components, None
+        )
+    assert any("Cannot stack" in r.message for r in caplog.records)
+    # the fallback evaluates the per-dataset physics (rmf folded)
+    expected = PoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    fluxes = components.to_flux_tuple()
+    assert_allclose(
+        float(jnp.sum(total_loss.poisson_loss.evaluate(fluxes))),
+        float(jnp.sum(expected.evaluate(fluxes))),
+        rtol=1e-5,
+    )
+
+
+def test_stacked_rmf_output_channel_mismatch_raises():
+    datasets = _rmf_datasets(c=2, k=3, rmf_kind="nonsquare")
+    for d in datasets.values():
+        d["counts"] = d["counts"][:2]  # 2 channels vs rmf K=3
+        d["background"] = d["background"][:2]
+    components = _single_flux_components()
+    with pytest.raises(ValueError, match="channel"):
+        StackedPoissonLoss.from_datasets(
+            datasets=datasets, components=components
+        )
+
+
+def test_stacked_direct_multiband_grouped_conv():
+    """conv_mode='direct' on multiband observations: per-channel
+    grouped convolution (the old path hard-reshaped to one channel)."""
+    datasets = _rmf_datasets(c=2, k=2)
+    for d in datasets.values():
+        d.pop("rmf")
+    components = _single_flux_components()
+    fluxes = components.to_flux_tuple()
+    per_dataset = PoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="direct"
+    )
+    assert_allclose(
+        np.asarray(stacked.evaluate(fluxes)),
+        np.asarray(per_dataset.evaluate(fluxes)),
+        rtol=1e-4,
+    )
