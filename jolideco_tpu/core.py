@@ -133,6 +133,13 @@ class MAPDeconvolver:
         reference behaviour).
     seed : int
         PRNG seed for prior randomness (cycle spins, jitter).
+    shard_prior : bool
+        On a mesh with the joint strategy, partition the prior's
+        patch-scoring work across every device (``parallel.prior``)
+        instead of replicating it — the GMM patch prior scores a
+        disjoint strip block per device and the scalar is ``psum``-ed.
+        Identical values/gradients to f32 summation noise; default
+        True. No effect without a mesh.
     fft_shape : tuple of int, optional
         Padded transform shape for the joint-strategy FFT convolution
         (must be at least ``image + kernel - 1`` per axis). Default:
@@ -165,6 +172,7 @@ class MAPDeconvolver:
         mesh=None,
         conv_mode="fft",
         fft_shape=None,
+        shard_prior=True,
     ):
         self.n_epochs = int(n_epochs)
         self.beta = float(beta)
@@ -176,6 +184,7 @@ class MAPDeconvolver:
         self.seed = int(seed)
         self.device = device
         self.mesh = mesh
+        self.shard_prior = bool(shard_prior)
         self.conv_mode = str(conv_mode)
         self.fft_shape = None if fft_shape is None else tuple(
             int(s) for s in fft_shape
@@ -251,6 +260,7 @@ class MAPDeconvolver:
                 )
             )
         )
+        data["shard_prior"] = self.shard_prior
         data["trace_every"] = self.trace_every
         data["seed"] = self.seed
         data["checkpoint_path"] = (
@@ -301,6 +311,14 @@ class MAPDeconvolver:
                         fft_shape=self.fft_shape, row_shards=row_shards,
                     )
             except ValueError as exc:
+                from .parallel.stacked import DataValidationError
+
+                if isinstance(exc, DataValidationError):
+                    # the data is invalid for the per-dataset path too
+                    # — fail fast with the direct message instead of
+                    # falling back to a forward that fails later inside
+                    # jit with an opaque shape error
+                    raise
                 if self.fft_shape is not None or self.mesh is not None:
                     # an explicit fft_shape or a mesh pins the stacked
                     # path; a silent fallback would ignore the user's
@@ -367,6 +385,20 @@ class MAPDeconvolver:
         """
         beta = self.beta
         sequential = self.update_strategy == "sequential"
+        # partition the prior's WORK over the mesh (not just the
+        # Poisson data): without this every device redundantly scores
+        # the full replicated flux — round-4 profiling put the fused
+        # GMM prior at ~40% of the step, an ~2.2x Amdahl cap on an
+        # 8-chip obs mesh (docs/performance.md; parallel/prior.py)
+        prior_mesh = (
+            self.mesh
+            if self.mesh is not None and not sequential and self.shard_prior
+            else None
+        )
+        if prior_mesh is not None:
+            from .parallel.prior import sharded_prior_fn
+
+            prior_fn = sharded_prior_fn(prior_mesh)
         trace_every = self.trace_every
         # early stopping reads the validation loss off the trace row
         # every epoch, so it forces a row per epoch regardless
@@ -399,9 +431,15 @@ class MAPDeconvolver:
             losses = total_loss.poisson_loss.evaluate(
                 fluxes, params.get("calibrations")
             )
-            loss_prior = total_loss.prior_loss(
-                fluxes, params=params.get("components"), key=key
-            )
+            if prior_mesh is not None:
+                loss_prior = prior_fn(
+                    total_loss.prior_loss, fluxes,
+                    params=params.get("components"), key=key,
+                )
+            else:
+                loss_prior = total_loss.prior_loss(
+                    fluxes, params=params.get("components"), key=key
+                )
             weights = total_loss.poisson_loss.weights
             return jnp.sum(losses * weights) - beta * loss_prior
 
@@ -475,6 +513,8 @@ class MAPDeconvolver:
             self.learning_rate,
             tuple(sorted(self.optimizer_kwargs.items())),
             self.beta,
+            self.mesh,
+            self.shard_prior,
         )
         if getattr(self, "_fn_cache_key", None) != cache_key:
             tx = self._make_optimizer()

@@ -207,6 +207,34 @@ class PriorLoss:
             )
         return values
 
+    def evaluate_sharded(self, fluxes, params=None, key=None, n_shards=1,
+                         shard_index=0):
+        """Per-component shard-partial log-priors.
+
+        Same key schedule as :meth:`evaluate`; summed over all shards
+        (each called with the same ``key``) the per-component values
+        equal :meth:`evaluate`'s. Used by
+        ``parallel.prior.sharded_prior_fn`` under ``shard_map`` with a
+        traced ``shard_index``.
+        """
+        keys = (
+            jax.random.split(key, len(self.priors))
+            if key is not None
+            else [None] * len(self.priors)
+        )
+        values = []
+        for idx, (name, prior) in enumerate(self.priors.items()):
+            prior_params = None
+            if params is not None and name in params:
+                prior_params = params[name].get("prior")
+            values.append(
+                prior.shard_partial(
+                    fluxes[idx], params=prior_params, key=keys[idx],
+                    n_shards=n_shards, shard_index=shard_index,
+                )
+            )
+        return values
+
     def __call__(self, fluxes, params=None, key=None):
         """Summed log-prior."""
         return sum(self.evaluate(fluxes, params=params, key=key))

@@ -282,6 +282,10 @@ class NPredModels(dict):
             # only reachable there by direct NPredModel construction)
             rmf = dataset.get("rmf")
             if isinstance(rmf, dict):
+                if name not in rmf:
+                    raise ValueError(
+                        f"dict-form 'rmf' is missing component {name!r}"
+                    )
                 rmf = rmf[name]
 
             npred_model = NPredModel.from_numpy(

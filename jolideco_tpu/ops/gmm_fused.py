@@ -80,6 +80,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "fused_supported",
     "gmm_score_fused_image",
+    "gmm_score_fused_partial_sum",
     "fused_patch_count",
 ]
 
@@ -609,6 +610,105 @@ def _fused_buffers(packed):
         "bqt": packed["bqt"],
         "const2t": packed["const2"].T,
     }
+
+
+@lru_cache(maxsize=16)
+def _strip_major_mask_np(h, w, stride, nyv_pad):
+    """Real-patch mask in strip-major virtual-strip order.
+
+    ``(g, nyv_pad, wc, NXC)`` f32 with the virtual-strip axis padded to
+    ``nyv_pad`` (shard-padding strips come back all-invalid). Same
+    enumeration as :func:`_grid_mask_np` — strip-folding preserves the
+    flattened (strip, patch) order — but kept strip-major so a shard's
+    contiguous strip block is one slice of axis 1.
+    """
+    hp, wp, fold = _padded_dims(h, w)
+    ny = nyv_pad * fold                 # real 8-row strips incl. padding
+    nx = wp // _PATCH
+    wc = wp * fold // CHUNK
+    offs = _offsets(stride)
+    out = np.zeros((len(offs), nyv_pad, wc, _NXC), np.float32)
+    for gi, (a, b) in enumerate(offs):
+        na, nb = (h - a) // _PATCH, (w - b) // _PATCH
+        m = ((np.arange(ny) < na)[:, None]
+             & (np.arange(nx) < nb)[None, :])
+        out[gi] = m.reshape(nyv_pad, wc, _NXC)
+    return out
+
+
+def gmm_score_fused_partial_sum(normed, patch_shape, stride, packed,
+                                sentinel, n_shards, shard_index,
+                                interpret=False,
+                                precision=lax.Precision.HIGH,
+                                marginalize=False):
+    """Partial ``sum(values * valid)`` over one shard's strip block.
+
+    Splits the virtual-strip axis of the fused enumeration into
+    ``n_shards`` contiguous blocks (padding the strip count up to a
+    multiple — padded strips come back invalid) and scores only block
+    ``shard_index``, which may be a *traced* integer (e.g.
+    ``lax.axis_index`` inside ``shard_map``). Summed over all shards
+    this equals ``sum(where(valid, values, 0))`` of
+    :func:`gmm_score_fused_image` — each patch belongs to exactly one
+    shard. Gradients flow back to ``normed`` through the kernel's
+    ``custom_vjp`` plus the differentiable pad/slice wrappers (the
+    ``dynamic_slice`` adjoints scatter-add the per-shard strip
+    gradients into the full image).
+
+    This is the cross-chip partitioning of the flagship GMM patch
+    prior (SURVEY.md §5 "patch-dimension blocking … spatially-sharded"
+    row): each device scores a disjoint strip range and the caller
+    ``psum``s the scalar.
+    """
+    h, w = normed.shape[-2:]
+    if not fused_supported(normed.shape, patch_shape, stride, _D):
+        raise ValueError("fused scorer does not support this shape")
+    n_shards = int(n_shards)
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+
+    hp, wp, fold = _padded_dims(h, w)
+    nyv = hp // _PATCH // fold
+    nyv_pad = -(-nyv // n_shards) * n_shards
+    n_local = nyv_pad // n_shards       # virtual strips per shard
+    rows_local = n_local * _PATCH * fold
+    hp2 = nyv_pad * _PATCH * fold
+
+    img = normed.reshape(h, w)
+    padded = jnp.pad(img, ((0, hp2 - h + _PATCH), (0, wp - w + _PATCH)))
+    row0 = shard_index * rows_local
+    groups = [
+        lax.dynamic_slice(padded, (row0 + a, b), (rows_local, wp))
+        for a, b in _offsets(stride)
+    ]
+    g_ = len(groups)
+    r_local = _strips_per_tile(n_local)
+    nt = n_local // r_local
+    wpv = wp * fold
+    wc = wpv // CHUNK
+
+    imgs = jnp.stack(groups)
+    if fold > 1:
+        imgs = (imgs.reshape(g_, n_local, fold, _PATCH, wp)
+                .transpose(0, 1, 3, 2, 4))
+    imgs = imgs.reshape(g_, nt, r_local, _PATCH, wpv)
+
+    mask_full = jnp.asarray(_strip_major_mask_np(h, w, stride, nyv_pad))
+    mask_loc = lax.dynamic_slice(
+        mask_full, (0, shard_index * n_local, 0, 0),
+        (g_, n_local, wc, _NXC),
+    )
+    mask2 = (mask_loc.reshape(g_, nt, r_local, wc, _NXC)
+             .transpose(0, 1, 3, 2, 4)
+             .reshape(g_ * nt * wc, 1, r_local * _NXC))
+
+    buffers = _fused_buffers(packed)
+    mode = _mode(precision)
+    values2, _, valid2 = _fused_score(
+        interpret, mode, float(sentinel), bool(marginalize), imgs,
+        mask2, buffers
+    )
+    return jnp.sum(values2 * valid2)
 
 
 def gmm_score_fused_image(normed, patch_shape, stride, packed, sentinel,

@@ -45,7 +45,20 @@ from ..utils.pytree import register_pytree
 
 log = logging.getLogger(__name__)
 
-__all__ = ["StackedPoissonLoss"]
+__all__ = ["DataValidationError", "StackedPoissonLoss"]
+
+
+class DataValidationError(ValueError):
+    """The dataset itself is inconsistent — not merely unstackable.
+
+    ``MAPDeconvolver._build_total_loss`` treats a plain ``ValueError``
+    from the stacked build as "cannot stack, fall back to per-dataset
+    models". Errors of this type mean the data is invalid for EITHER
+    path (e.g. an RMF whose channel count does not match the counts),
+    so the build re-raises them with the direct message instead of
+    falling back to a forward that fails later inside jit with an
+    opaque shape error.
+    """
 
 
 class StackedPoissonLoss:
@@ -197,9 +210,17 @@ class StackedPoissonLoss:
             rmfs = {}
             for name in components:
                 mats = []
-                for dataset in datasets.values():
+                for ds_name, dataset in datasets.items():
                     rmf = dataset["rmf"]
                     if isinstance(rmf, dict):
+                        if name not in rmf:
+                            # invalid for the per-dataset path too
+                            # (NPredModels.from_dataset_numpy needs the
+                            # same key) — fail fast, do not fall back
+                            raise DataValidationError(
+                                f"dataset {ds_name!r}: dict-form 'rmf' "
+                                f"is missing component {name!r}"
+                            )
                         rmf = rmf[name]
                     mats.append(np.asarray(rmf, np.float32))
                 rmf_shapes = {m.shape for m in mats}
@@ -214,7 +235,7 @@ class StackedPoissonLoss:
             n_out = counts_shape[-3] if len(counts_shape) >= 3 else 1
             k_out = {m.shape[-1] for m in rmfs.values()}
             if k_out != {n_out}:
-                raise ValueError(
+                raise DataValidationError(
                     f"rmf output channels {k_out} do not match the "
                     f"counts channel axis ({n_out})"
                 )
@@ -541,6 +562,21 @@ class StackedPoissonLoss:
                     ].set(psf)
                     padded.append(pad[..., ::-1, ::-1])
                 psfs[name] = jnp.stack(padded)
+
+        if rmfs is not None:
+            # the OUTPUT channel count (K) was validated against the
+            # counts above; the INPUT channel count must match the
+            # exposure stack's channel axis or the evaluate einsum
+            # fails later inside jit with an opaque shape error
+            for name in rmfs:
+                c_in = int(rmfs[name].shape[-2])
+                c_exp = int(exposures[name].shape[-3])
+                if c_in != c_exp:
+                    raise DataValidationError(
+                        f"rmf for component {name!r} has {c_in} input "
+                        f"channels but the exposure/counts stack has "
+                        f"{c_exp} channels"
+                    )
 
         return cls(
             counts=counts,

@@ -62,6 +62,22 @@ class Prior:
             self._key = key
         return sub
 
+    def shard_partial(self, flux, params=None, key=None, n_shards=1,
+                      shard_index=0):
+        """This shard's additive contribution to the scalar log-prior.
+
+        Contract: summed over ``shard_index = 0..n_shards-1`` (all
+        called with the SAME ``key``) this equals ``__call__``.
+        ``shard_index`` may be a traced integer (``lax.axis_index``
+        inside ``shard_map`` — see ``parallel.prior``). Default: the
+        exact full value divided by ``n_shards`` (compute replicated,
+        not partitioned); priors that can partition their work
+        override this (``GMMPatchPrior`` scores a disjoint strip block
+        of the patch enumeration per shard).
+        """
+        del shard_index
+        return self(flux=flux, params=params, key=key) / n_shards
+
     def second_order_ok(self, flux_shape):
         """Whether forward-over-reverse (jvp-of-grad) traces through
         this prior for a flux of ``flux_shape`` under the current

@@ -323,6 +323,57 @@ class GMMPatchPrior(Prior):
             / flux.size
         )
 
+    def shard_partial(self, flux, params=None, key=None, n_shards=1,
+                      shard_index=0):
+        """One shard's additive contribution to :meth:`__call__`.
+
+        When the fused image-level scorer applies, this scores only a
+        disjoint contiguous strip block of the patch enumeration
+        (``ops.gmm_fused.gmm_score_fused_partial_sum``), so the
+        prior's *work* — not just its data — partitions across a
+        device mesh: ``parallel.prior.sharded_prior_fn`` runs it under
+        ``shard_map`` with ``shard_index = lax.axis_index`` and
+        ``psum``s the scalars. The PRNG ``key`` must be identical on
+        every shard (the cycle spin must roll every shard's view of
+        the image the same way); the key schedule matches
+        ``_evaluate_log_like`` exactly, so the shard sum equals
+        ``__call__`` to f32 summation-order noise — values and
+        gradients.
+
+        Falls back to ``__call__ / n_shards`` (exact value, compute
+        replicated) when the fused path does not apply (jitter,
+        subsampling, non-mean patch norm, narrow images, fused
+        dispatch off).
+        """
+        if key is None:
+            key = self.next_key()
+        if n_shards == 1 or not self._fused_ok(tuple(flux.shape)):
+            return self(flux, params=params, key=key) / n_shards
+
+        # same key schedule as _evaluate_log_like
+        key_spin, key_subpix, _, _ = jax.random.split(key, 4)
+        norm_params = None if params is None else params.get("norm")
+        normed = self.norm(flux, params=norm_params)
+        if self.cycle_spin:
+            normed, _ = cycle_spin(
+                key_spin, normed, patch_shape=self.patch_shape
+            )
+        if self.cycle_spin_subpix:
+            normed = cycle_spin_subpixel(key_subpix, normed)
+
+        from ...config import gmm_precision, pallas_mode
+        from ...ops.gmm_fused import gmm_score_fused_partial_sum
+
+        _, interpret = pallas_mode()
+        partial = gmm_score_fused_partial_sum(
+            normed, self.patch_shape, self.stride, self.gmm.packed,
+            ZERO_FLUX_SENTINEL, n_shards, shard_index,
+            interpret=interpret, precision=gmm_precision(),
+            marginalize=self.marginalize,
+        )
+        # fused path implies patch_fraction == 1 (subsample_scale = 1)
+        return partial * self.log_like_weight / flux.size
+
     # ------------------------------------------------------------------
     def prior_image(self, flux):
         """Patch image from the eigen-images of the best-fit components.
@@ -494,6 +545,26 @@ class MultiScalePrior(Prior):
         )
 
     def __call__(self, flux, params=None, key=None):
+        return self._evaluate_levels(
+            flux, params, key,
+            lambda fl, pp, k: self.prior(flux=fl, params=pp, key=k),
+        )
+
+    def shard_partial(self, flux, params=None, key=None, n_shards=1,
+                      shard_index=0):
+        """One shard's contribution: every level's wrapped prior is
+        evaluated through its own :meth:`Prior.shard_partial` (the
+        level smoothing/pooling is replicated — cheap next to patch
+        scoring). Key schedule identical to ``__call__``."""
+        return self._evaluate_levels(
+            flux, params, key,
+            lambda fl, pp, k: self.prior.shard_partial(
+                fl, params=pp, key=k, n_shards=n_shards,
+                shard_index=shard_index,
+            ),
+        )
+
+    def _evaluate_levels(self, flux, params, key, eval_level):
         if key is None:
             key = self.next_key()
         keys = jax.random.split(key, self.n_levels + 1)
@@ -529,8 +600,8 @@ class MultiScalePrior(Prior):
                 ..., : (h // factor) * factor, : (w // factor) * factor
             ]
             flux_downsampled = avg_pool(flux_level, factor)
-            log_like_level = self.prior(
-                flux=flux_downsampled, params=prior_params, key=keys[idx]
+            log_like_level = eval_level(
+                flux_downsampled, prior_params, keys[idx]
             )
             log_like += factor**2 * weights[idx] * log_like_level
 

@@ -36,8 +36,8 @@ from jolideco_tpu.utils.io.minifits import (
 )
 from jolideco_tpu.utils.wcs import SimpleWCS
 
-astropy = pytest.importorskip_factory = None
 try:
+    import astropy
     import astropy.io.fits as astropy_fits
     import astropy.wcs
 

@@ -1165,3 +1165,143 @@ def test_stacked_direct_multiband_grouped_conv():
         np.asarray(per_dataset.evaluate(fluxes)),
         rtol=1e-4,
     )
+
+
+def test_stacked_rmf_input_channel_mismatch_fails_fast():
+    """A genuinely data-invalid RMF (wrong INPUT channel count) raises
+    DataValidationError at build time — and _build_total_loss re-raises
+    it instead of falling back to per-dataset models that would fail
+    later inside jit with an opaque einsum shape error."""
+    from jolideco_tpu.parallel.stacked import DataValidationError
+
+    datasets = _rmf_datasets(c=2, k=2, rmf_kind="square")
+    for d in datasets.values():
+        # 3 input channels vs 2-channel exposure/counts
+        d["rmf"] = np.ones((3, 2), np.float32) / 2.0
+    components = _single_flux_components()
+    with pytest.raises(DataValidationError, match="input"):
+        StackedPoissonLoss.from_datasets(
+            datasets=datasets, components=components
+        )
+
+    deco = MAPDeconvolver(n_epochs=1, update_strategy="joint")
+    with pytest.raises(DataValidationError, match="input"):
+        deco._build_total_loss(datasets, None, components, None)
+
+
+def test_stacked_rmf_dict_missing_component_fails_fast():
+    """A dict-form rmf missing a component name is invalid for BOTH
+    paths (the per-dataset build needs the same key): the stacked build
+    raises DataValidationError naming the component instead of an
+    opaque KeyError, and the joint build does not fall back."""
+    from jolideco_tpu.parallel.stacked import DataValidationError
+
+    datasets = _rmf_datasets(c=2, k=2, rmf_kind="square")
+    for d in datasets.values():
+        d["rmf"] = {"not-c0": d["rmf"]}
+    components = _single_flux_components()
+    with pytest.raises(DataValidationError, match="'c0'"):
+        StackedPoissonLoss.from_datasets(
+            datasets=datasets, components=components
+        )
+    with pytest.raises(ValueError, match="'c0'"):
+        PoissonLoss.from_datasets(
+            datasets=datasets, components=components
+        )
+    deco = MAPDeconvolver(n_epochs=1, update_strategy="joint")
+    with pytest.raises(DataValidationError, match="'c0'"):
+        deco._build_total_loss(datasets, None, components, None)
+
+
+# ----------------------------------------------------------------------
+# sparse components through the stacked joint path
+
+
+def _sparse_plus_dense_setup(n_obs=4):
+    from jolideco_tpu import SparseSpatialFluxComponent
+
+    rs = np.random.RandomState(642020)
+    datasets = {
+        f"obs-{i}": gauss_and_point_sources_gauss_psf(random_state=rs)
+        for i in range(n_obs)
+    }
+    for d in datasets.values():
+        d["psf"] = {"diffuse": d["psf"], "points": d["psf"]}
+
+    components = FluxComponents()
+    components["diffuse"] = SpatialFluxComponent.from_numpy(
+        flux=rs.gamma(20, size=(32, 32))
+    )
+    components["points"] = SparseSpatialFluxComponent.from_numpy(
+        flux=np.array([10.0, 5.0]),
+        x_pos=np.array([16.0, 26.0]),
+        y_pos=np.array([26.0, 16.0]),
+        shape=(32, 32),
+    )
+    return datasets, components
+
+
+def test_stacked_sparse_plus_dense_matches_per_dataset():
+    """Sparse (centroid-splat) + dense components through the stacked
+    JOINT path: values and parameter gradients (including the sparse
+    positions) match the per-dataset models."""
+    datasets, components = _sparse_plus_dense_setup()
+    params = components.parameters()
+
+    per_dataset = PoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components
+    )
+
+    def total(loss, p):
+        fluxes = components.fluxes_from(p)
+        return jnp.sum(loss.evaluate(fluxes))
+
+    assert_allclose(
+        float(total(stacked, params)), float(total(per_dataset, params)),
+        rtol=1e-5,
+    )
+    g_stacked = jax.grad(lambda p: total(stacked, p))(params)
+    g_seq = jax.grad(lambda p: total(per_dataset, p))(params)
+    for leaf_s, leaf_p in zip(
+        jax.tree_util.tree_leaves(g_stacked),
+        jax.tree_util.tree_leaves(g_seq),
+    ):
+        assert_allclose(
+            np.asarray(leaf_s), np.asarray(leaf_p), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_stacked_sparse_plus_dense_sharded_joint_trains():
+    """The sparse+dense stack trains end-to-end through the sharded
+    joint strategy on the 8-device mesh, matching the unsharded run."""
+    datasets, components = _sparse_plus_dense_setup(n_obs=8)
+    import copy
+
+    mesh = make_obs_mesh(n_devices=8)
+    deco = MAPDeconvolver(
+        n_epochs=3, learning_rate=0.05, display_progress=False,
+        update_strategy="joint", scan_epochs=True, seed=7,
+    )
+    result_plain = deco.run(
+        datasets=datasets, components=copy.deepcopy(components)
+    )
+    deco_mesh = MAPDeconvolver(
+        n_epochs=3, learning_rate=0.05, display_progress=False,
+        update_strategy="joint", scan_epochs=True, seed=7, mesh=mesh,
+    )
+    result_mesh = deco_mesh.run(
+        datasets=datasets, components=copy.deepcopy(components)
+    )
+    assert_allclose(
+        result_mesh.components["diffuse"].flux_upsampled_numpy,
+        result_plain.components["diffuse"].flux_upsampled_numpy,
+        rtol=1e-4, atol=1e-6,
+    )
+    assert_allclose(
+        result_mesh.components["points"].x_pos_numpy,
+        result_plain.components["points"].x_pos_numpy,
+        rtol=1e-4,
+    )
