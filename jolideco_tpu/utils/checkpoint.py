@@ -5,12 +5,27 @@ is no optimizer-state checkpointing and no resume-training path
 (reference ``core.py:234-247``, SURVEY.md §5). Here the full train
 state ``(params, opt_state, PRNG key, epoch)`` round-trips through an
 orbax PyTree checkpoint, so training genuinely resumes.
+
+Cross-topology contract: the state is converted to host numpy before
+writing and restored as host numpy (explicit ``RestoreArgs``, no
+device-sharding metadata needed), so a checkpoint saved from an
+8-chip mesh run restores onto 1 chip and vice versa — the natural TPU
+workflow (train big, resume/analyse small). The resumed run's jit
+placement re-shards the arrays for whatever mesh it is given; the
+trained parameters themselves are replicated in every configuration,
+so no information is lost either way. This also removes orbax's
+"Sharding info not provided … unsafe when restoring on a different
+topology" warning, which the pre-round-5 device-array restore hit.
+Pinned by ``tests/test_resume_and_cli.py`` (mesh→single and
+single→mesh resume).
 """
 
 import logging
 from pathlib import Path
 
 import numpy as np
+
+import jax
 
 log = logging.getLogger(__name__)
 
@@ -24,7 +39,11 @@ def _checkpointer():
 
 
 def save_train_state(path, params, opt_state, key, epoch):
-    """Save the full train state to ``path`` (a directory)."""
+    """Save the full train state to ``path`` (a directory).
+
+    Device arrays (including mesh-sharded ones) are fetched to host
+    numpy first — the checkpoint is topology-agnostic by construction.
+    """
     path = Path(path).absolute()
     state = {
         "params": params,
@@ -32,6 +51,7 @@ def save_train_state(path, params, opt_state, key, epoch):
         "key": key,
         "epoch": np.int64(epoch),
     }
+    state = jax.device_get(state)
     ckptr = _checkpointer()
     ckptr.save(path, state, force=True)
     log.info(f"Saved train state to {path}")
@@ -42,7 +62,10 @@ def restore_train_state(path, params_template, opt_state_template,
     """Restore a train state saved by :func:`save_train_state`.
 
     Templates (freshly initialised pytrees of the right structure)
-    drive the typed restore.
+    drive the typed restore. Arrays come back as HOST numpy regardless
+    of the topology they were saved on or the current device set; the
+    caller's jit placement moves them to whatever mesh the resumed run
+    uses.
 
     Returns
     -------
@@ -57,9 +80,16 @@ def restore_train_state(path, params_template, opt_state_template,
         "key": key_template,
         "epoch": np.int64(0),
     }
+    # host-numpy restore: no device placement, no sharding metadata —
+    # the one valid answer on every topology
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template
+    )
     ckptr = _checkpointer()
     restored = ckptr.restore(
-        path, args=ocp.args.PyTreeRestore(item=template)
+        path,
+        args=ocp.args.PyTreeRestore(item=template,
+                                    restore_args=restore_args),
     )
     log.info(f"Restored train state from {path}")
     return (

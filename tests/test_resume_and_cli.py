@@ -74,6 +74,69 @@ def test_save_restore_state_roundtrip(datasets, tmp_path):
     assert_allclose(result2.flux_total, r20.flux_total, rtol=1e-3)
 
 
+def test_cross_topology_resume(datasets, tmp_path):
+    """The checkpoint contract is topology-agnostic: a state saved from
+    an 8-device-mesh run resumes on a single device and vice versa,
+    matching the continuous single-topology runs — and neither
+    direction may emit orbax's unsafe-sharding warning (round-4 weak
+    #4: restores previously went through orbax's device-array path)."""
+    import warnings
+
+    from jolideco_tpu.parallel import make_obs_mesh
+
+    # need an even obs count on the mesh: 8 datasets
+    rs = np.random.RandomState(0)
+    datasets8 = {
+        f"{idx}": gauss_and_point_sources_gauss_psf(random_state=rs)
+        for idx in range(8)
+    }
+    mesh = make_obs_mesh(n_devices=8)
+
+    def make_deco(n_epochs, use_mesh):
+        return MAPDeconvolver(
+            n_epochs=n_epochs, learning_rate=0.1,
+            display_progress=False, update_strategy="joint",
+            mesh=mesh if use_mesh else None,
+        )
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "error", message=".*[Ss]harding info not provided.*"
+        )
+
+        # mesh -> single device
+        r_mesh = make_deco(10, True).run(
+            datasets=datasets8, components=build_components()
+        )
+        r_mesh.save_state(tmp_path / "mesh-state")
+        r_resumed = make_deco(10, False).run(
+            datasets=datasets8, components=build_components(),
+            resume_from=tmp_path / "mesh-state",
+        )
+        r20_single = make_deco(20, False).run(
+            datasets=datasets8, components=build_components()
+        )
+        assert_allclose(
+            r_resumed.flux_total, r20_single.flux_total, rtol=1e-4
+        )
+
+        # single device -> mesh
+        r_single = make_deco(10, False).run(
+            datasets=datasets8, components=build_components()
+        )
+        r_single.save_state(tmp_path / "single-state")
+        r_resumed2 = make_deco(10, True).run(
+            datasets=datasets8, components=build_components(),
+            resume_from=tmp_path / "single-state",
+        )
+        r20_mesh = make_deco(20, True).run(
+            datasets=datasets8, components=build_components()
+        )
+        assert_allclose(
+            r_resumed2.flux_total, r20_mesh.flux_total, rtol=1e-4
+        )
+
+
 def test_cli_version():
     from click.testing import CliRunner
 
