@@ -122,9 +122,10 @@ def main():
                         help="stochastic patch subsampling (speed dial; "
                              "1.0 = exact)")
     parser.add_argument("--conv-mode", default="fft",
-                        choices=["fft", "direct", "mxu", "ct"],
+                        choices=["fft", "direct", "mxu", "ct", "pfft"],
                         help="PSF convolution implementation (ct = "
-                             "packed-pair Cooley-Tukey matmul DFT)")
+                             "packed-pair Cooley-Tukey matmul DFT; "
+                             "pfft = Pallas two-stage matmul FFT)")
     parser.add_argument("--fft-shape", type=int, default=None,
                         help="padded square FFT transform size for the "
                              "joint conv (default: minimal linear shape)")

@@ -297,17 +297,28 @@ class MAPDeconvolver:
                 and "row" in self.mesh.axis_names
                 else None
             )
+            conv_mode = self.conv_mode
+            if conv_mode == "pfft" and self.mesh is not None:
+                # the Pallas matmul-DFT is a single-device program that
+                # GSPMD cannot partition over the mesh; the XLA FFT
+                # path shards (and keeps its pair packing when pairs
+                # stay device-local)
+                log.warning(
+                    "conv_mode='pfft' does not partition over a mesh; "
+                    "using conv_mode='fft' for this sharded run"
+                )
+                conv_mode = "fft"
             poisson = poisson_validation = None
             try:
                 poisson = StackedPoissonLoss.from_datasets(
                     datasets=datasets, components=components,
-                    calibrations=calibrations, conv_mode=self.conv_mode,
+                    calibrations=calibrations, conv_mode=conv_mode,
                     fft_shape=self.fft_shape, row_shards=row_shards,
                 )
                 if datasets_validation:
                     poisson_validation = StackedPoissonLoss.from_datasets(
                         datasets=datasets_validation, components=components,
-                        calibrations=calibrations, conv_mode=self.conv_mode,
+                        calibrations=calibrations, conv_mode=conv_mode,
                         fft_shape=self.fft_shape, row_shards=row_shards,
                     )
             except ValueError as exc:

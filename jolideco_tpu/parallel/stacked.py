@@ -25,6 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..config import pallas_mode as _pallas_mode
 from ..loss import poisson_nll
 from ..ops.fft import (
     _complex_on_device,
@@ -95,7 +96,7 @@ class StackedPoissonLoss:
                  weights=None, psf_scales=None, psfs=None, conv_mode="fft",
                  dft_tables=None, mxu_fft_shape=None, pair_kernels=None,
                  ct_tables=None, ct_fft_shape=None, ct_pair_kernels=None,
-                 ct_singles=None,
+                 ct_singles=None, pfft_pairs=None, pfft_ns=None,
                  sharded=False, static_shifts=None, static_log_norms=None,
                  spatial_mesh=None, row_axis="row", rmfs=None):
         self.counts = counts
@@ -135,6 +136,14 @@ class StackedPoissonLoss:
             dict(ct_pair_kernels) if ct_pair_kernels else None
         )
         self.ct_singles = dict(ct_singles) if ct_singles else None
+        # Pallas matmul-DFT pair spectra (conv_mode="pfft"): component
+        # name -> 4 permuted-layout plane stacks, plus the per-component
+        # static transform size (tuple of pairs: pytree aux data must
+        # hash for the jit compilation-cache key)
+        self.pfft_pairs = dict(pfft_pairs) if pfft_pairs else None
+        self.pfft_ns = (
+            tuple(sorted(dict(pfft_ns).items())) if pfft_ns else None
+        )
         self.sharded = bool(sharded)
         # 2-D (obs, row) mesh for the distributed-FFT conv path
         # (set by parallel.spatial.shard_stacked_spatial)
@@ -282,6 +291,7 @@ class StackedPoissonLoss:
 
         exposures, psf_ffts, psfs, pair_kernels = {}, {}, {}, {}
         ct_pairs, ct_singles = {}, {}
+        pfft_pairs, pfft_ns = {}, {}
         component_factors = []
         common_fft_shape = fft_shape
         mxu_tables, mxu_shape_common = None, None
@@ -291,7 +301,7 @@ class StackedPoissonLoss:
             factor = component.upsampling_factor or 1
             component_factors.append(factor)
 
-            if conv_mode in ("fft", "ct"):
+            if conv_mode in ("fft", "ct", "pfft"):
                 # batched device build: ship only the raw float32
                 # stacks and compute upsampling, origin-centered kernel
                 # FFTs, edge correction and pair packing in ONE jitted
@@ -441,6 +451,36 @@ class StackedPoissonLoss:
                         )
                     sr, si = ct_kernel_spectra(embedded, ct_tables)
                     ct_singles[name] = jnp.stack([sr, si], axis=1)
+
+                if conv_mode == "pfft" and n_obs >= 2:
+                    # Pallas matmul-DFT spectra at the component's own
+                    # 128-aligned transform size (the stage tables are
+                    # per-size, so components with different upsampling
+                    # factors coexist). Images pad to 128 multiples in
+                    # the forward; the spectra must cover that padding.
+                    from ..ops.pallas_fft import (
+                        PFFT_LANE,
+                        pfft_pair_spectra_device,
+                        pfft_size,
+                    )
+
+                    padded_image = (
+                        -(-image_shape[0] // PFFT_LANE) * PFFT_LANE,
+                        -(-image_shape[1] // PFFT_LANE) * PFFT_LANE,
+                    )
+                    p_n = pfft_size(max(
+                        padded_image[0] + kmax[0] - 1,
+                        padded_image[1] + kmax[1] - 1,
+                    ))
+                    kstack = (
+                        psfs_conv if psfs_conv is not None else psfs_common
+                    )
+                    n_even = 2 * (n_obs // 2)
+                    pfft_pairs[name] = pfft_pair_spectra_device(
+                        kstack[0:n_even:2], kstack[1:n_even:2],
+                        padded_image, p_n,
+                    )
+                    pfft_ns[name] = p_n
                 continue
 
             # mxu/direct modes: build-time preprocessing stays
@@ -599,6 +639,8 @@ class StackedPoissonLoss:
             ct_fft_shape=ct_shape_common,
             ct_pair_kernels=ct_pairs or None,
             ct_singles=ct_singles or None,
+            pfft_pairs=pfft_pairs or None,
+            pfft_ns=pfft_ns or None,
             static_shifts=static_shifts,
             static_log_norms=static_log_norms,
             rmfs=rmfs,
@@ -750,6 +792,11 @@ class StackedPoissonLoss:
         ) or (
             self.conv_mode == "ct"
             and self.ct_pair_kernels is not None
+        ) or (
+            self.conv_mode == "pfft"
+            and self.pfft_pairs is not None
+            and any(_pallas_mode())  # compiled on TPU / interpret opt-in;
+                                     # otherwise the per-obs rFFT path
         ):
             return self._evaluate_packed_fft(fluxes, calibration_params)
         per_obs = self._per_obs_fn(fluxes)
@@ -829,6 +876,10 @@ class StackedPoissonLoss:
                     x[0:2 * n_pairs:2], x[1:2 * n_pairs:2],
                     ar, ai, br, bi, self.ct_tables, self.ct_fft_shape,
                 )
+            elif self.conv_mode == "pfft":
+                y0, y1 = self._conv_pfft_pair(
+                    name, x[0:2 * n_pairs:2], x[1:2 * n_pairs:2]
+                )
             else:
                 pair_a, pair_b = self.pair_kernels[name]
                 y0, y1 = convolve_fft_packed_pair(
@@ -846,6 +897,46 @@ class StackedPoissonLoss:
             return y
 
         return self._evaluate_batched(fluxes, calibration_params, conv_fn)
+
+    def _conv_pfft_pair(self, name, xe, xo):
+        """Pair convolution through the Pallas matmul-DFT backend.
+
+        ``xe`` / ``xo`` are the even/odd observation stacks
+        ``(P, ..., H, W)``. Images pad up to 128-multiples (the build
+        sized the spectra for that padding), leading dims flatten into
+        the kernel batch, and the crop restores ``(H, W)``.
+        """
+        from ..ops.pallas_fft import (
+            PFFT_LANE,
+            conv_packed_pfft,
+            default_pfft_mode,
+        )
+
+        _, interpret = _pallas_mode()
+        n_t = dict(self.pfft_ns)[name]
+        planes = self.pfft_pairs[name]
+        lead = xe.shape[:-2]
+        h, w = xe.shape[-2], xe.shape[-1]
+        hp = -(-h // PFFT_LANE) * PFFT_LANE
+        wp = -(-w // PFFT_LANE) * PFFT_LANE
+        if (hp, wp) != (h, w):
+            pad = [(0, 0)] * (xe.ndim - 2) + [(0, hp - h), (0, wp - w)]
+            xe = jnp.pad(xe, pad)
+            xo = jnp.pad(xo, pad)
+
+        def flat_planes(p):
+            return jnp.broadcast_to(
+                p, lead + p.shape[-2:]
+            ).reshape(-1, n_t, n_t)
+
+        y0, y1 = conv_packed_pfft(
+            xe.reshape(-1, hp, wp), xo.reshape(-1, hp, wp),
+            *(flat_planes(p) for p in planes),
+            n_t, default_pfft_mode(), interpret,
+        )
+        y0 = y0[:, :h, :w].reshape(lead + (h, w))
+        y1 = y1[:, :h, :w].reshape(lead + (h, w))
+        return y0, y1
 
     def _evaluate_spatial_fft(self, fluxes, calibration_params):
         """Batched forward with the row-sharded pencil-FFT convolution.
@@ -928,6 +1019,12 @@ class StackedPoissonLoss:
             }
         else:
             new.ct_pair_kernels = None
+        # the Pallas matmul-DFT kernels are single-device programs —
+        # GSPMD cannot partition a pallas_call along the pair axis, so
+        # a sharded loss drops them and runs the per-observation rFFT
+        # path (MAPDeconvolver falls back to conv_mode="fft" on a mesh
+        # before ever building these)
+        new.pfft_pairs = None
         new.sharded = True
         return new
 
@@ -937,6 +1034,7 @@ register_pytree(
     children_attrs=("counts", "background", "exposures", "psf_ffts", "psfs",
                     "stirling", "dft_tables", "pair_kernels",
                     "ct_tables", "ct_pair_kernels", "ct_singles",
+                    "pfft_pairs",
                     "static_shifts", "static_log_norms", "rmfs"),
     aux_attrs=(
         "names_all",
@@ -945,6 +1043,7 @@ register_pytree(
         "fft_shape",
         "mxu_fft_shape",
         "ct_fft_shape",
+        "pfft_ns",
         "has_calibration",
         "conv_mode",
         "_weights",

@@ -51,6 +51,50 @@ def test_joint_training_conv_modes_match_fft(datasets, conv_mode):
     )
 
 
+def test_joint_training_pfft_matches_fft(datasets):
+    """The Pallas matmul-DFT backend trains identically to the XLA FFT.
+
+    Runs the pfft kernels in the Pallas interpreter; 32^2 images also
+    exercise the pad-to-128-multiple path.
+    """
+    from jolideco_tpu.config import force_pallas
+
+    results = {}
+    for mode in ("fft", "pfft"):
+        deco = MAPDeconvolver(
+            n_epochs=20, learning_rate=0.1, display_progress=False,
+            update_strategy="joint", conv_mode=mode,
+        )
+        with force_pallas("interpret"):
+            results[mode] = deco.run(
+                datasets=datasets, components=build_components()
+            )
+    assert_allclose(
+        results["pfft"].flux_total, results["fft"].flux_total, rtol=2e-4,
+        atol=1e-5,
+    )
+
+
+def test_pfft_falls_back_without_pallas(datasets):
+    """With Pallas unavailable (auto on CPU), conv_mode='pfft' trains
+    through the per-observation rFFT path and matches fft exactly."""
+    from jolideco_tpu.config import force_pallas
+
+    results = {}
+    for mode in ("fft", "pfft"):
+        deco = MAPDeconvolver(
+            n_epochs=5, learning_rate=0.1, display_progress=False,
+            update_strategy="joint", conv_mode=mode,
+        )
+        with force_pallas("off"):
+            results[mode] = deco.run(
+                datasets=datasets, components=build_components()
+            )
+    assert_allclose(
+        results["pfft"].flux_total, results["fft"].flux_total, rtol=1e-6
+    )
+
+
 def test_cycle_spin_interp():
     from jolideco_tpu.ops import cycle_spin_interp
 
