@@ -121,11 +121,13 @@ def main():
     parser.add_argument("--patch-fraction", type=float, default=1.0,
                         help="stochastic patch subsampling (speed dial; "
                              "1.0 = exact)")
-    parser.add_argument("--conv-mode", default="fft",
-                        choices=["fft", "direct", "mxu", "ct", "pfft"],
-                        help="PSF convolution implementation (ct = "
-                             "packed-pair Cooley-Tukey matmul DFT; "
-                             "pfft = Pallas two-stage matmul FFT)")
+    parser.add_argument("--conv-mode", default="auto",
+                        choices=["auto", "fft", "direct", "mxu", "ct",
+                                 "pfft"],
+                        help="PSF convolution implementation (auto = "
+                             "pfft on TPU; ct = packed-pair "
+                             "Cooley-Tukey matmul DFT; pfft = Pallas "
+                             "two-stage matmul FFT)")
     parser.add_argument("--fft-shape", type=int, default=None,
                         help="padded square FFT transform size for the "
                              "joint conv (default: minimal linear shape)")
@@ -316,6 +318,11 @@ ALL_MODE_ROWS = (
                     "--iters", "300", "--repeats", "2"]),
     ("scale_2048", ["--size", "2048",
                     "--iters", "150", "--repeats", "2"]),
+    # the XLA-FFT conv path still serves meshes, interpret mode and
+    # the per-obs forwards — keep it regression-pinned now that the
+    # headline rides the Pallas matmul FFT (conv auto -> pfft on TPU)
+    ("xla_fft", ["--conv-mode", "fft",
+                 "--iters", "300", "--repeats", "2"]),
 )
 
 

@@ -140,6 +140,12 @@ class MAPDeconvolver:
         disjoint strip block per device and the scalar is ``psum``-ed.
         Identical values/gradients to f32 summation noise; default
         True. No effect without a mesh.
+    conv_mode : {"auto", "fft", "pfft", "ct", "mxu", "direct"}
+        PSF convolution backend for the stacked joint path. ``auto``
+        (default) picks the Pallas two-stage matmul FFT (``pfft``,
+        measured ~1.9x the XLA FFT at benchmark shape) when compiled
+        Pallas kernels are available and no mesh is configured, and
+        the XLA FFT otherwise. See ``docs/performance.md``.
     fft_shape : tuple of int, optional
         Padded transform shape for the joint-strategy FFT convolution
         (must be at least ``image + kernel - 1`` per axis). Default:
@@ -170,7 +176,7 @@ class MAPDeconvolver:
         seed=0,
         device=None,
         mesh=None,
-        conv_mode="fft",
+        conv_mode="auto",
         fft_shape=None,
         shard_prior=True,
     ):
@@ -298,6 +304,18 @@ class MAPDeconvolver:
                 else None
             )
             conv_mode = self.conv_mode
+            if conv_mode == "auto":
+                from .config import pallas_mode
+
+                enabled, interpret = pallas_mode()
+                # compiled Pallas + single device -> the measured-faster
+                # matmul-FFT backend; interpret mode stays on the XLA
+                # FFT (interpreted kernels are for tests, not speed)
+                conv_mode = (
+                    "pfft"
+                    if enabled and not interpret and self.mesh is None
+                    else "fft"
+                )
             if conv_mode == "pfft" and self.mesh is not None:
                 # the Pallas matmul-DFT is a single-device program that
                 # GSPMD cannot partition over the mesh; the XLA FFT
@@ -367,7 +385,7 @@ class MAPDeconvolver:
                     beta=self.beta,
                 )
 
-        if self.conv_mode != "fft":
+        if self.conv_mode not in ("fft", "auto"):
             log.warning(
                 f"conv_mode={self.conv_mode!r} only applies to the "
                 "stacked joint path; the per-dataset forward models "

@@ -95,6 +95,33 @@ def test_pfft_falls_back_without_pallas(datasets):
     )
 
 
+def test_conv_mode_auto_resolution(datasets):
+    """``conv_mode="auto"`` resolves to the XLA FFT without compiled
+    Pallas (CPU) and to the matmul-FFT backend with it."""
+    from jolideco_tpu.config import force_pallas
+
+    deco = MAPDeconvolver(
+        n_epochs=1, display_progress=False, update_strategy="joint"
+    )
+    assert deco.conv_mode == "auto"
+    loss = deco._build_total_loss(datasets, None, build_components(), None)
+    assert loss.poisson_loss.conv_mode == "fft"
+    assert loss.poisson_loss.pfft_pairs is None
+
+    with force_pallas("on"):
+        loss = deco._build_total_loss(
+            datasets, None, build_components(), None
+        )
+    assert loss.poisson_loss.conv_mode == "pfft"
+    assert loss.poisson_loss.pfft_pairs is not None
+    # interpret mode is a test vehicle, not a speed path
+    with force_pallas("interpret"):
+        loss = deco._build_total_loss(
+            datasets, None, build_components(), None
+        )
+    assert loss.poisson_loss.conv_mode == "fft"
+
+
 def test_cycle_spin_interp():
     from jolideco_tpu.ops import cycle_spin_interp
 
