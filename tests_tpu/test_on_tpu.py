@@ -535,3 +535,59 @@ def test_compute_error_at_benchmark_scale(marginalize):
     assert t_repeat < 4.0, (
         f"cached compute_error probe took {t_repeat:.2f}s (> 4s bound)"
     )
+
+
+@requires_device("tpu")
+def test_stacked_pfft_conv_compiled_matches_fft():
+    """conv_mode='pfft' (Pallas two-stage matmul FFT,
+    `ops/pallas_fft.py`) vs the XLA FFT path, compiled on the chip:
+    loss values and flux gradients at both the f32 and split matmul
+    modes. 32^2 images exercise the pad-to-128-multiple path and the
+    odd observation count exercises the rFFT tail fallback; the CPU
+    tier only ever runs these kernels under the Pallas interpreter."""
+    from jolideco_tpu import FluxComponents, SpatialFluxComponent
+    from jolideco_tpu import config as jt_config
+    from jolideco_tpu.data import gauss_and_point_sources_gauss_psf
+    from jolideco_tpu.parallel import StackedPoissonLoss
+
+    rs = np.random.RandomState(12)
+    datasets = {
+        f"o{i}": gauss_and_point_sources_gauss_psf(random_state=rs)
+        for i in range(5)
+    }
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=rs.gamma(20, size=(32, 32))
+    )
+    fluxes = components.to_flux_tuple()
+
+    fft_loss = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="fft"
+    )
+    pfft_loss = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="pfft"
+    )
+    assert pfft_loss.pfft_pairs is not None
+
+    ev = jax.jit(lambda s, f: s.evaluate(f))
+    gr = jax.jit(lambda s, f: jax.grad(lambda x: s(((x,))))(f))
+    v_fft = np.asarray(ev(fft_loss, fluxes))
+    g_fft = np.asarray(gr(fft_loss, fluxes[0]))
+    g_scale = np.abs(g_fft).max()
+
+    saved = jt_config._GMM_PRECISION
+    try:
+        for mode, rtol in (("highest", 2e-5), ("high", 3e-4)):
+            jt_config.set_gmm_precision(mode)
+            # fresh jit wrappers per mode: the matmul mode is read at
+            # trace time, so a cached trace would pin the first mode
+            ev_m = jax.jit(lambda s, f: s.evaluate(f))
+            gr_m = jax.jit(lambda s, f: jax.grad(lambda x: s(((x,))))(f))
+            v_pfft = np.asarray(ev_m(pfft_loss, fluxes))
+            assert_allclose(v_pfft, v_fft, rtol=rtol, atol=rtol)
+            g_pfft = np.asarray(gr_m(pfft_loss, fluxes[0]))
+            assert_allclose(
+                g_pfft / g_scale, g_fft / g_scale, atol=rtol * 2
+            )
+    finally:
+        jt_config.set_gmm_precision(saved)
