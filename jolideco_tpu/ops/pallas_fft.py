@@ -591,6 +591,34 @@ def _pfft_conv_impl(x0, x1, a_re, a_im, b2_re, b2_im, n, mode,
     return y0, y1
 
 
+@partial(jax.custom_jvp, nondiff_argnums=(6, 7, 8, 9))
+def _pfft_apply(x0, x1, a_re, a_im, b2_re, b2_im, n, mode, interpret,
+                conj_spec):
+    """The kernel pipeline as a forward-differentiable primitive.
+
+    The convolution is linear in ``(x0, x1)``, so its JVP is the same
+    pipeline applied to the tangents — which is what makes the
+    forward-over-reverse Hessian probe (``TotalLoss.hessian_diagonals``)
+    trace through compiled kernels: without this rule, jvp hits the
+    raw ``pallas_call`` (no JVP) inside the custom-VJP residual jaxpr.
+    Spectrum tangents are ignored: spectra are frozen build products
+    (the reverse path likewise returns zero cotangents for them).
+    """
+    return _pfft_conv_impl(x0, x1, a_re, a_im, b2_re, b2_im, n, mode,
+                           interpret, conj_spec=conj_spec)
+
+
+@_pfft_apply.defjvp
+def _pfft_apply_jvp(n, mode, interpret, conj_spec, primals, tangents):
+    x0, x1, a_re, a_im, b2_re, b2_im = primals
+    t0, t1 = tangents[0], tangents[1]
+    primal_out = _pfft_apply(x0, x1, a_re, a_im, b2_re, b2_im, n, mode,
+                             interpret, conj_spec)
+    tangent_out = _pfft_apply(t0, t1, a_re, a_im, b2_re, b2_im, n, mode,
+                              interpret, conj_spec)
+    return primal_out, tangent_out
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def conv_packed_pfft(x0, x1, a_re, a_im, b2_re, b2_im, n, mode="f32",
                      interpret=False):
@@ -620,14 +648,14 @@ def conv_packed_pfft(x0, x1, a_re, a_im, b2_re, b2_im, n, mode="f32",
         identical semantics to
         :func:`jolideco_tpu.ops.fft.convolve_fft_packed_pair`.
     """
-    return _pfft_conv_impl(x0, x1, a_re, a_im, b2_re, b2_im, n, mode,
-                           interpret, conj_spec=False)
+    return _pfft_apply(x0, x1, a_re, a_im, b2_re, b2_im, n, mode,
+                       interpret, False)
 
 
 def _conv_packed_pfft_fwd(x0, x1, a_re, a_im, b2_re, b2_im, n, mode,
                           interpret):
-    out = _pfft_conv_impl(x0, x1, a_re, a_im, b2_re, b2_im, n, mode,
-                          interpret, conj_spec=False)
+    out = _pfft_apply(x0, x1, a_re, a_im, b2_re, b2_im, n, mode,
+                      interpret, False)
     return out, (a_re, a_im, b2_re, b2_im)
 
 
@@ -636,8 +664,8 @@ def _conv_packed_pfft_bwd(n, mode, interpret, res, cotangents):
     g0, g1 = cotangents
     # adjoint = correlation = the same pipeline with conjugated kernel
     # spectra (static sign flip inside kernel 2)
-    d0, d1 = _pfft_conv_impl(g0, g1, a_re, a_im, b2_re, b2_im, n, mode,
-                             interpret, conj_spec=True)
+    d0, d1 = _pfft_apply(g0, g1, a_re, a_im, b2_re, b2_im, n, mode,
+                         interpret, True)
     zero = jnp.zeros_like(a_re)
     return d0, d1, zero, zero, zero, zero
 

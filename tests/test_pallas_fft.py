@@ -144,6 +144,37 @@ def test_gradients_match_xla_path():
     np.testing.assert_allclose(g1, r1, atol=5e-5 * scale)
 
 
+def test_forward_over_reverse_matches_xla_path():
+    """jvp-of-grad (the ``compute_error`` Hessian probe) traces through
+    the pipeline and matches the XLA path.
+
+    The convolution is linear, so its JVP is itself (the inner
+    ``custom_jvp``); without that rule the probe hits the raw
+    ``pallas_call`` inside the custom-VJP residual jaxpr and crashes.
+    """
+    x0, x1, kernels, n, spectra = _setup(2, P=1, h=128, w=128, k=9)
+    c = jnp.asarray(np.random.default_rng(5).random((1, 128, 128)),
+                    jnp.float32)
+
+    def loss_pfft(x0):
+        y0, y1 = conv_packed_pfft(x0, jnp.asarray(x1), *spectra, n,
+                                  "f32", True)
+        return jnp.mean(c * jnp.sin(y0)) + jnp.mean(y1 * y1)
+
+    def loss_xla(x0):
+        k0, k1_ = kernels[0]
+        a, b = kernel_fft_pair(k0, k1_, x0.shape[1:], (n, n))
+        y0, y1 = convolve_fft_packed_pair(x0, jnp.asarray(x1), a, b,
+                                          (n, n))
+        return jnp.mean(c * jnp.sin(y0)) + jnp.mean(y1 * y1)
+
+    ones = jnp.ones_like(jnp.asarray(x0))
+    hvp_p = jax.jvp(jax.grad(loss_pfft), (jnp.asarray(x0),), (ones,))[1]
+    hvp_x = jax.jvp(jax.grad(loss_xla), (jnp.asarray(x0),), (ones,))[1]
+    scale = float(jnp.max(jnp.abs(hvp_x)))
+    np.testing.assert_allclose(hvp_p, hvp_x, atol=1e-5 * scale)
+
+
 def test_spectra_validation():
     k = np.ones((9, 9))
     with pytest.raises(ValueError, match="multiple of"):
