@@ -106,8 +106,17 @@ _COL_CHUNK = 256  # kernel-1/3 lane chunk
 # the three kernels hold stage matrices + in/out planes + the pipeline's
 # double buffers; the default 16 MB scoped cap is ~300 KB short at the
 # benchmark shape (v5e has 128 MB physical VMEM — the cap trades
-# pipelining headroom, not correctness)
-_VMEM_CAP = 40 * 1024 * 1024
+# pipelining headroom, not correctness). Block sizes scale down with
+# the transform size (see _chunk_sizes): m = n/128 stage iterations
+# unroll in-kernel, so live temporaries grow with n.
+_VMEM_CAP = 64 * 1024 * 1024
+
+
+def _chunk_sizes(n):
+    """(lane chunk for kernels 1/3, row strip for kernel 2) at size n."""
+    cc = _COL_CHUNK if n <= 12 * PFFT_LANE else PFFT_LANE
+    sr = PFFT_LANE if n <= 24 * PFFT_LANE else PFFT_LANE // 2
+    return cc, sr
 
 
 def pfft_size(n):
@@ -517,7 +526,8 @@ def _pfft_conv_impl(x0, x1, a_re, a_im, b2_re, b2_im, n, mode,
     mi = tuple(jnp.asarray(x) for x in t["mi"])
     mi_t = tuple(jnp.asarray(x) for x in t["mi_t"])
 
-    cc = min(_COL_CHUNK, W)
+    cc, sr = _chunk_sizes(n)
+    cc = min(cc, W)
     u_re, u_im = pl.pallas_call(
         partial(_k1_body, m=m, h=H, wf=t["wf"], mode=mode),
         grid=(P, W // cc),
@@ -542,7 +552,6 @@ def _pfft_conv_impl(x0, x1, a_re, a_im, b2_re, b2_im, n, mode,
         compiler_params=_compiler_params(interpret),
     )(x0, x1, *mf_t)
 
-    sr = PFFT_LANE  # kernel-2 row strip
     spec_strip = pl.BlockSpec((1, sr, n), lambda p, i: (p, i, 0),
                               memory_space=pltpu.VMEM)
     u_strip = pl.BlockSpec((1, sr, W), lambda p, i: (p, i, 0),
