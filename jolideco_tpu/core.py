@@ -92,6 +92,12 @@ OPTIMIZER = {
     "sgd": _build_sgd,
 }
 
+# conv_mode="auto" picks the Pallas matmul FFT only for fields at
+# least this large per axis (incl. upsampling): below it the backend's
+# three-kernel dispatch overhead outweighs the transform win
+# (docs/performance.md "The Pallas matmul FFT")
+PFFT_AUTO_MIN_DIM = 1024
+
 
 class MAPDeconvolver:
     """Maximum a-posteriori deconvolver.
@@ -144,7 +150,8 @@ class MAPDeconvolver:
         PSF convolution backend for the stacked joint path. ``auto``
         (default) picks the Pallas two-stage matmul FFT (``pfft``,
         measured ~1.9x the XLA FFT at benchmark shape) when compiled
-        Pallas kernels are available and no mesh is configured, and
+        Pallas kernels are available, no mesh is configured and the
+        (upsampled) field is at least ``PFFT_AUTO_MIN_DIM`` per axis;
         the XLA FFT otherwise. See ``docs/performance.md``.
     fft_shape : tuple of int, optional
         Padded transform shape for the joint-strategy FFT convolution
@@ -308,12 +315,24 @@ class MAPDeconvolver:
                 from .config import pallas_mode
 
                 enabled, interpret = pallas_mode()
-                # compiled Pallas + single device -> the measured-faster
-                # matmul-FFT backend; interpret mode stays on the XLA
-                # FFT (interpreted kernels are for tests, not speed)
+                # compiled Pallas + single device + large fields -> the
+                # measured-faster matmul-FFT backend. Small fields stay
+                # on the XLA FFT: the three-kernel dispatch overhead
+                # dominates there (E0102-like 256^2: pfft measured
+                # ~1.5x SLOWER end-to-end incl. extra compiles, vs
+                # 1.4x faster at the 1024^2 benchmark shape). Interpret
+                # mode is a test vehicle, not a speed path.
+                image_dim = 0
+                for component in components.values():
+                    factor = component.upsampling_factor or 1
+                    shape = next(iter(datasets.values()))["counts"].shape
+                    image_dim = max(
+                        image_dim, factor * max(shape[-2], shape[-1])
+                    )
                 conv_mode = (
                     "pfft"
                     if enabled and not interpret and self.mesh is None
+                    and image_dim >= PFFT_AUTO_MIN_DIM
                     else "fft"
                 )
             if conv_mode == "pfft" and self.mesh is not None:

@@ -95,9 +95,11 @@ def test_pfft_falls_back_without_pallas(datasets):
     )
 
 
-def test_conv_mode_auto_resolution(datasets):
+def test_conv_mode_auto_resolution(datasets, monkeypatch):
     """``conv_mode="auto"`` resolves to the XLA FFT without compiled
-    Pallas (CPU) and to the matmul-FFT backend with it."""
+    Pallas (CPU), to the matmul-FFT backend with it on large-enough
+    fields, and back to the XLA FFT below the size gate."""
+    from jolideco_tpu import core as jt_core
     from jolideco_tpu.config import force_pallas
 
     deco = MAPDeconvolver(
@@ -108,6 +110,7 @@ def test_conv_mode_auto_resolution(datasets):
     assert loss.poisson_loss.conv_mode == "fft"
     assert loss.poisson_loss.pfft_pairs is None
 
+    monkeypatch.setattr(jt_core, "PFFT_AUTO_MIN_DIM", 32)
     with force_pallas("on"):
         loss = deco._build_total_loss(
             datasets, None, build_components(), None
@@ -116,6 +119,13 @@ def test_conv_mode_auto_resolution(datasets):
     assert loss.poisson_loss.pfft_pairs is not None
     # interpret mode is a test vehicle, not a speed path
     with force_pallas("interpret"):
+        loss = deco._build_total_loss(
+            datasets, None, build_components(), None
+        )
+    assert loss.poisson_loss.conv_mode == "fft"
+    # below the size gate the dispatch overhead outweighs the win
+    monkeypatch.setattr(jt_core, "PFFT_AUTO_MIN_DIM", 1024)
+    with force_pallas("on"):
         loss = deco._build_total_loss(
             datasets, None, build_components(), None
         )
