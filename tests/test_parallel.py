@@ -801,14 +801,18 @@ def test_multi_component_order_survives_jit():
     assert_allclose(jitted, eager, rtol=1e-6)
 
 
-@pytest.mark.parametrize("conv_mode", ["fft", "ct"])
+@pytest.mark.parametrize("conv_mode", ["fft", "ct", "pfft"])
 @pytest.mark.parametrize("seed", range(6))
 def test_stacked_matches_per_dataset_random_configs(seed, conv_mode):
     """Property sweep over the device-build parameter space: random
     observation counts, image sizes, odd/even ragged PSF sizes and
     upsampling factors — the stacked loss and its gradient must match
-    the per-dataset build, in both the FFT and the Cooley-Tukey
-    matmul-DFT convolution modes."""
+    the per-dataset build, in the FFT, Cooley-Tukey matmul-DFT and
+    Pallas matmul-FFT (interpreted; heavy pad-to-128 territory)
+    convolution modes."""
+    from contextlib import ExitStack
+
+    from jolideco_tpu.config import force_pallas
     from jolideco_tpu.models import SpatialFluxComponent
 
     rs = np.random.RandomState(1000 + seed)
@@ -845,17 +849,21 @@ def test_stacked_matches_per_dataset_random_configs(seed, conv_mode):
         datasets=datasets, components=components
     )
     fluxes = components.to_flux_tuple()
-    assert_allclose(
-        np.asarray(stacked.evaluate(fluxes)),
-        np.asarray(per_dataset.evaluate(fluxes)),
-        rtol=2e-4,
-    )
 
-    def total(loss, flux):
-        return jnp.sum(loss.evaluate((flux,)))
+    with ExitStack() as stack:
+        if conv_mode == "pfft":
+            stack.enter_context(force_pallas("interpret"))
+        assert_allclose(
+            np.asarray(stacked.evaluate(fluxes)),
+            np.asarray(per_dataset.evaluate(fluxes)),
+            rtol=2e-4,
+        )
 
-    g_stacked = jax.grad(total, argnums=1)(stacked, fluxes[0])
-    g_seq = jax.grad(total, argnums=1)(per_dataset, fluxes[0])
+        def total(loss, flux):
+            return jnp.sum(loss.evaluate((flux,)))
+
+        g_stacked = jax.grad(total, argnums=1)(stacked, fluxes[0])
+        g_seq = jax.grad(total, argnums=1)(per_dataset, fluxes[0])
     assert_allclose(
         np.asarray(g_stacked), np.asarray(g_seq), rtol=2e-4, atol=1e-5
     )
