@@ -17,8 +17,9 @@ median. Invoked with NO arguments (the driver's plain
 carries a ``rows`` object with one entry per published mode (headline
 split-float MAP, full-f32 ``highest`` precision, marginalise
 reduction, reference-exact ``sequential`` semantics, and the 10-obs
-2048² scale row), each measured in its own subprocess with its own
-repeats — so every mode documented in docs/performance.md is pinned
+2048² scale row), each measured in-process with its own fresh
+deconvolver, config and repeats — so every mode documented in
+docs/performance.md is pinned
 against regression by the driver artifact, not just the headline.
 ``--headline-only`` restores the single-row behaviour.
 """
@@ -92,7 +93,7 @@ def make_datasets(n_obs=10, size=1024, psf_size=33, seed=0):
     return datasets
 
 
-def main():
+def build_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n-obs", type=int, default=10)
     parser.add_argument("--size", type=int, default=1024)
@@ -158,13 +159,38 @@ def main():
                              "once exceeded, remaining rows are marked "
                              "skipped instead of risking the driver's "
                              "own timeout")
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
 
     # plain `python bench.py` (the driver invocation) pins EVERY
     # published mode, not just the headline (round-4 verdict weak #2)
     if args.all_modes or (len(sys.argv) == 1 and not args.headline_only):
         return main_all_modes(args)
+    print(json.dumps(run_single(args)))
 
+
+# one-entry dataset memo: the all-modes rows share the 1024^2 stack
+_DATASET_MEMO = {}
+
+
+def _memo_datasets(n_obs, size):
+    key = (n_obs, size)
+    if key not in _DATASET_MEMO:
+        _DATASET_MEMO.clear()  # one entry: the 2048^2 stack is ~1.7 GB
+        _DATASET_MEMO[key] = make_datasets(n_obs=n_obs, size=size)
+    return _DATASET_MEMO[key]
+
+
+def run_single(args):
+    """Measure one configuration; returns the artifact row dict.
+
+    Re-reads the precision/pallas config globals on entry, so
+    `main_all_modes` can run rows in one process (trace-time globals
+    are read when each fresh MAPDeconvolver instance traces).
+    """
     import jax
 
     from jolideco_tpu import FluxComponents, MAPDeconvolver, SpatialFluxComponent
@@ -186,7 +212,7 @@ def main():
         logging.basicConfig(level=logging.DEBUG)
         print(f"devices: {jax.devices()}", file=sys.stderr)
 
-    datasets = make_datasets(n_obs=args.n_obs, size=args.size)
+    datasets = _memo_datasets(args.n_obs, args.size)
 
     if args.prior == "gmm":
         if args.gmm_name == "random":
@@ -297,7 +323,7 @@ def main():
             100.0 * (rates[-1] - rates[0]) / rates[len(rates) // 2], 1
         ),
     }
-    print(json.dumps(out))
+    return out
 
 
 # the non-headline rows published in docs/performance.md, pinned
@@ -311,37 +337,36 @@ def main():
 ALL_MODE_ROWS = (
     ("headline", []),
     ("highest_precision", ["--precision", "highest",
-                           "--iters", "300", "--repeats", "2"]),
+                           "--iters", "200", "--repeats", "2"]),
     ("marginalise", ["--marginalize",
-                     "--iters", "300", "--repeats", "2"]),
+                     "--iters", "200", "--repeats", "2"]),
     ("sequential", ["--update-strategy", "sequential",
-                    "--iters", "300", "--repeats", "2"]),
+                    "--iters", "200", "--repeats", "2"]),
     ("scale_2048", ["--size", "2048",
-                    "--iters", "150", "--repeats", "2"]),
+                    "--iters", "100", "--repeats", "2"]),
     # the XLA-FFT conv path still serves meshes, interpret mode and
     # the per-obs forwards — keep it regression-pinned now that the
     # headline rides the Pallas matmul FFT (conv auto -> pfft on TPU)
     ("xla_fft", ["--conv-mode", "fft",
-                 "--iters", "300", "--repeats", "2"]),
+                 "--iters", "200", "--repeats", "2"]),
 )
 
 
 def main_all_modes(args):
-    """Run every published mode in its own subprocess, emit ONE line.
+    """Run every published mode in one process, emit ONE line.
 
-    Subprocesses give each row fresh trace-time config globals
-    (precision/pallas dispatch are read at trace time) and an honest
-    cold-cache compile path (the persistent XLA cache still amortises
-    repeat invocations). Rows run strictly sequentially — the tunnel
-    TPU must never see two concurrent clients.
+    Rows share the interpreter, the jax backend, the persistent
+    compile cache and (same-shape rows) the generated datasets —
+    subprocess-per-row measured ~150-180 s of pure overhead per row,
+    which blew the driver budget. Trace-time config globals
+    (precision/pallas dispatch) are (re)set inside `run_single` and
+    every row builds a fresh MAPDeconvolver, so rows cannot reuse a
+    stale trace. Rows run strictly sequentially — the tunnel TPU must
+    never see two concurrent clients.
     """
-    import subprocess
+    import gc
 
-    here = Path(__file__).resolve()
-    # forward every configuration flag the user set; per-row flags are
-    # appended AFTER so they override (argparse takes the last value).
-    # --headline-only guards against any possibility of a row
-    # subprocess recursing into all-modes.
+    parser = build_parser()
     base_flags = ["--headline-only",
                   "--repeats", str(args.repeats),
                   "--n-obs", str(args.n_obs), "--size", str(args.size),
@@ -370,20 +395,19 @@ def main_all_modes(args):
             rows[name] = {"skipped": f"mode budget ({elapsed:.0f}s "
                                      f"> {args.mode_budget:.0f}s)"}
             continue
-        cmd = [sys.executable, str(here)] + base_flags + flags
+        row_flags = list(base_flags) + flags
         if "--iters" not in flags:
-            cmd += ["--iters", str(args.iters)]
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=1800
-        )
+            row_flags += ["--iters", str(args.iters)]
+        row_args = parser.parse_args(row_flags)
+        t_row = time.time()
         try:
-            line = proc.stdout.strip().splitlines()[-1]
-            rows[name] = json.loads(line)
-        except (json.JSONDecodeError, IndexError):
-            rows[name] = {
-                "error": f"rc={proc.returncode}",
-                "stderr_tail": proc.stderr[-500:],
-            }
+            rows[name] = run_single(row_args)
+            # wall seconds incl. dataset build, compile-cache loads and
+            # the warm-up run — the budget planner's ground truth
+            rows[name]["row_seconds"] = round(time.time() - t_row, 1)
+        except Exception as exc:  # a row failure must not lose the rest
+            rows[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        gc.collect()
 
     headline = rows.get("headline", {})
     out = dict(headline) if "value" in headline else {
