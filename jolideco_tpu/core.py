@@ -335,14 +335,23 @@ class MAPDeconvolver:
                     and image_dim >= PFFT_AUTO_MIN_DIM
                     else "fft"
                 )
-            if conv_mode == "pfft" and self.mesh is not None:
-                # the Pallas matmul-DFT is a single-device program that
-                # GSPMD cannot partition over the mesh; the XLA FFT
-                # path shards (and keeps its pair packing when pairs
-                # stay device-local)
+            if (
+                conv_mode == "pfft"
+                and self.mesh is not None
+                and "row" in self.mesh.axis_names
+            ):
+                # the Pallas matmul-DFT cannot split a single transform
+                # across the row axis — spatial sharding stays on the
+                # pencil-FFT path. On a pure obs mesh pfft DOES
+                # partition: pairs are shard-local and the kernels run
+                # per-device under jax.shard_map (StackedPoissonLoss
+                # .shard / _conv_pfft_pair); an uneven or odd
+                # per-device observation count falls back to the
+                # per-observation rFFT path inside `shard`.
                 log.warning(
-                    "conv_mode='pfft' does not partition over a mesh; "
-                    "using conv_mode='fft' for this sharded run"
+                    "conv_mode='pfft' does not partition over a row "
+                    "(spatial) mesh; using conv_mode='fft' for this "
+                    "sharded run"
                 )
                 conv_mode = "fft"
             poisson = poisson_validation = None

@@ -98,7 +98,8 @@ class StackedPoissonLoss:
                  ct_tables=None, ct_fft_shape=None, ct_pair_kernels=None,
                  ct_singles=None, pfft_pairs=None, pfft_ns=None,
                  sharded=False, static_shifts=None, static_log_norms=None,
-                 spatial_mesh=None, row_axis="row", rmfs=None):
+                 spatial_mesh=None, row_axis="row", rmfs=None,
+                 obs_mesh=None):
         self.counts = counts
         self.background = background
         self.exposures = dict(exposures)
@@ -148,6 +149,9 @@ class StackedPoissonLoss:
         # 2-D (obs, row) mesh for the distributed-FFT conv path
         # (set by parallel.spatial.shard_stacked_spatial)
         self.spatial_mesh = spatial_mesh
+        # 1-D obs mesh carrying shard-local pfft pairs (set by `shard`
+        # when the Pallas matmul-DFT conv partitions via shard_map)
+        self.obs_mesh = obs_mesh
         self.row_axis = str(row_axis)
         # per-observation calibration values used when a calibration is
         # (partially) frozen and therefore absent from the params pytree
@@ -929,11 +933,37 @@ class StackedPoissonLoss:
                 p, lead + p.shape[-2:]
             ).reshape(-1, n_t, n_t)
 
-        y0, y1 = conv_packed_pfft(
-            xe.reshape(-1, hp, wp), xo.reshape(-1, hp, wp),
-            *(flat_planes(p) for p in planes),
-            n_t, default_pfft_mode(), interpret,
-        )
+        xef = xe.reshape(-1, hp, wp)
+        xof = xo.reshape(-1, hp, wp)
+        plane_args = tuple(flat_planes(p) for p in planes)
+        mode = default_pfft_mode()
+        if self.obs_mesh is not None:
+            # obs-mesh path: pairs are shard-local (see `shard`), so
+            # each device runs the Pallas pipeline on its own block of
+            # the flattened pair axis — no communication; shard_map is
+            # only needed because GSPMD cannot split a pallas_call
+            from jax.sharding import PartitionSpec
+
+            spec = PartitionSpec("obs")
+
+            def local_conv(xe_, xo_, ar, ai, br, bi):
+                return conv_packed_pfft(
+                    xe_, xo_, ar, ai, br, bi, n_t, mode, interpret
+                )
+
+            y0, y1 = jax.shard_map(
+                local_conv, mesh=self.obs_mesh,
+                in_specs=(spec,) * 6, out_specs=(spec, spec),
+                # pallas_call outputs carry no varying-mesh-axes
+                # metadata; the body is an element-of-batch map, so
+                # the vma check adds nothing here (same as
+                # parallel/prior.py)
+                check_vma=False,
+            )(xef, xof, *plane_args)
+        else:
+            y0, y1 = conv_packed_pfft(
+                xef, xof, *plane_args, n_t, mode, interpret,
+            )
         y0 = y0[:, :h, :w].reshape(lead + (h, w))
         y1 = y1[:, :h, :w].reshape(lead + (h, w))
         return y0, y1
@@ -1019,12 +1049,21 @@ class StackedPoissonLoss:
             }
         else:
             new.ct_pair_kernels = None
-        # the Pallas matmul-DFT kernels are single-device programs —
-        # GSPMD cannot partition a pallas_call along the pair axis, so
-        # a sharded loss drops them and runs the per-observation rFFT
-        # path (MAPDeconvolver falls back to conv_mode="fft" on a mesh
-        # before ever building these)
-        new.pfft_pairs = None
+        # GSPMD cannot partition a pallas_call along the pair axis,
+        # but with an even per-device observation count the pairs are
+        # shard-local, so the matmul-DFT conv runs per-device under
+        # jax.shard_map instead (see `_conv_pfft_pair`): keep the
+        # spectra, block-sharded along the pair axis, and remember the
+        # mesh. Otherwise drop them — `evaluate` then runs the
+        # per-observation rFFT path.
+        if self.pfft_pairs is not None and pairs_local:
+            new.pfft_pairs = {
+                name: tuple(shard_stacked(p, mesh) for p in planes)
+                for name, planes in self.pfft_pairs.items()
+            }
+            new.obs_mesh = mesh
+        else:
+            new.pfft_pairs = None
         new.sharded = True
         return new
 
@@ -1051,5 +1090,6 @@ register_pytree(
         "sharded",
         "spatial_mesh",
         "row_axis",
+        "obs_mesh",
     ),
 )

@@ -309,6 +309,97 @@ def test_sharded_keeps_pair_packed_ffts(datasets, components):
     assert stacked.shard(mesh8).pair_kernels is None
 
 
+def test_sharded_pfft_matches_unsharded(datasets, components):
+    """The Pallas matmul-DFT conv partitions over the obs mesh.
+
+    With an even per-device observation count the packed pairs are
+    shard-local, so `shard` keeps the pfft spectra (pair-axis
+    block-sharded) and `_conv_pfft_pair` runs the kernels per-device
+    under jax.shard_map — values and gradients must equal the
+    unsharded pfft evaluation exactly (same kernels, same per-pair
+    arithmetic) and the XLA-FFT path to conv tolerance."""
+    from jolideco_tpu.config import force_pallas
+
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="pfft"
+    )
+    assert stacked.pfft_pairs is not None
+    fluxes = components.to_flux_tuple()
+
+    with force_pallas("interpret"):
+        expected = np.asarray(stacked.evaluate(fluxes))
+
+        mesh4 = make_obs_mesh(n_devices=4)  # 8 obs / 4 dev = 1 local pair
+        sharded = stacked.shard(mesh4)
+        assert sharded.pfft_pairs is not None, "pfft must survive sharding"
+        assert sharded.obs_mesh is mesh4
+        result = np.asarray(
+            jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes)
+        )
+        assert_allclose(result, expected, rtol=1e-6)
+
+        def total(s, flux):
+            return jnp.sum(s.evaluate((flux,)))
+
+        g_single = jax.grad(total, argnums=1)(stacked, fluxes[0])
+        g_sharded = jax.jit(jax.grad(total, argnums=1))(sharded, fluxes[0])
+        assert_allclose(
+            np.asarray(g_sharded), np.asarray(g_single), rtol=1e-5
+        )
+
+    # cross-backend check against the XLA FFT path on the same mesh
+    stacked_fft = StackedPoissonLoss.from_datasets(
+        datasets=datasets, components=components, conv_mode="fft"
+    )
+    expected_fft = np.asarray(stacked_fft.evaluate(fluxes))
+    assert_allclose(result, expected_fft, rtol=1e-4)
+
+    # odd per-device count: pairs would straddle devices — pfft drops
+    # and the per-observation rFFT path serves the sharded loss
+    mesh8 = make_obs_mesh()
+    dropped = stacked.shard(mesh8)
+    assert dropped.pfft_pairs is None
+    assert dropped.obs_mesh is None
+    with force_pallas("interpret"):
+        result8 = np.asarray(
+            jax.jit(lambda s, f: s.evaluate(f))(dropped, fluxes)
+        )
+    assert_allclose(result8, expected_fft, rtol=1e-4)
+
+
+def test_joint_training_pfft_on_mesh_matches_fft(datasets):
+    """End-to-end: MAPDeconvolver(conv_mode='pfft', mesh=...) keeps the
+    Pallas conv backend on a pure obs mesh (no row axis) and trains to
+    the same flux as the XLA-FFT mesh path."""
+    from jolideco_tpu.config import force_pallas
+
+    def build_components():
+        rs = np.random.RandomState(642020)
+        flux_init = rs.gamma(20, size=(32, 32))
+        components = FluxComponents()
+        components["flux-1"] = SpatialFluxComponent.from_numpy(
+            flux=flux_init, prior=UniformPrior()
+        )
+        return components
+
+    mesh = make_obs_mesh(n_devices=4)
+    results = {}
+    for mode in ("fft", "pfft"):
+        deco = MAPDeconvolver(
+            n_epochs=10, learning_rate=0.1, display_progress=False,
+            update_strategy="joint", mesh=mesh, conv_mode=mode,
+        )
+        with force_pallas("interpret"):
+            results[mode] = deco.run(
+                datasets=datasets, components=build_components()
+            )
+    assert_allclose(
+        results["pfft"].flux_total,
+        results["fft"].flux_total,
+        rtol=1e-4,
+    )
+
+
 def test_joint_training_sharded_matches_unsharded(datasets):
     def build_components():
         rs = np.random.RandomState(642020)
