@@ -367,6 +367,59 @@ def test_sharded_pfft_matches_unsharded(datasets, components):
     assert_allclose(result8, expected_fft, rtol=1e-4)
 
 
+def test_sharded_pfft_multiband(datasets):
+    """Sharded pfft with per-band channels: the flattened pair axis
+    carries (pair, band) blocks, whose contiguous split must still
+    align with whole pairs per device."""
+    from jolideco_tpu.config import force_pallas
+    from jolideco_tpu.utils.kernels import gaussian_kernel_2d
+
+    rs = np.random.RandomState(3)
+    c, h = 2, 32
+    psfs = np.stack(
+        [gaussian_kernel_2d(1.0 + b, x_size=9, y_size=9) for b in range(c)]
+    ).astype(np.float32)
+    mb_datasets = {}
+    for i in range(8):
+        flux = rs.gamma(2, size=(h, h)).astype(np.float32)
+        background = 0.5 * np.ones((c, h, h), np.float32)
+        counts = rs.poisson(background + flux[None]).astype(np.float32)
+        mb_datasets[f"obs-{i}"] = {
+            "counts": counts,
+            "psf": psfs,
+            "exposure": np.ones((c, h, h), np.float32),
+            "background": background,
+        }
+
+    components = FluxComponents()
+    components["flux"] = SpatialFluxComponent.from_numpy(
+        flux=np.ones((h, h), np.float32), prior=UniformPrior()
+    )
+    fluxes = components.to_flux_tuple()
+
+    stacked = StackedPoissonLoss.from_datasets(
+        datasets=mb_datasets, components=components, conv_mode="pfft"
+    )
+    assert stacked.pfft_pairs is not None
+    with force_pallas("interpret"):
+        expected = np.asarray(stacked.evaluate(fluxes))
+        sharded = stacked.shard(make_obs_mesh(n_devices=4))
+        assert sharded.pfft_pairs is not None
+        result = np.asarray(
+            jax.jit(lambda s, f: s.evaluate(f))(sharded, fluxes)
+        )
+        assert_allclose(result, expected, rtol=1e-6)
+
+        def total(s, flux):
+            return jnp.sum(s.evaluate((flux,)))
+
+        g_single = jax.grad(total, argnums=1)(stacked, fluxes[0])
+        g_sharded = jax.jit(jax.grad(total, argnums=1))(sharded, fluxes[0])
+        assert_allclose(
+            np.asarray(g_sharded), np.asarray(g_single), rtol=1e-5
+        )
+
+
 def test_joint_training_pfft_on_mesh_matches_fft(datasets):
     """End-to-end: MAPDeconvolver(conv_mode='pfft', mesh=...) keeps the
     Pallas conv backend on a pure obs mesh (no row axis) and trains to
