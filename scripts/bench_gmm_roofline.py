@@ -72,6 +72,8 @@ def main():
     parser.add_argument("--precision", default="high",
                         choices=["highest", "high", "default"])
     parser.add_argument("--marginalize", action="store_true")
+    parser.add_argument("--interpret", action="store_true",
+                        help="Pallas interpreter on CPU (smoke test)")
     args = parser.parse_args()
 
     import jax
@@ -95,8 +97,8 @@ def main():
     def score_sum(x):
         values, argmax, valid = gmm_score_fused_image(
             x, (PATCH, PATCH), args.stride, gmm.packed,
-            ZERO_FLUX_SENTINEL, precision=precision,
-            marginalize=args.marginalize,
+            ZERO_FLUX_SENTINEL, interpret=args.interpret,
+            precision=precision, marginalize=args.marginalize,
         )
         return jnp.sum(jnp.where(valid, values, 0.0))
 
@@ -106,7 +108,9 @@ def main():
     t_fwd = timeit(fwd, normed, iters=args.iters)
     t_fb = timeit(fwd_bwd, normed, iters=args.iters)
 
-    passes = {"highest": 3, "high": 3, "default": 1}[args.precision]
+    # MXU passes per f32 matmul: HIGHEST lowers to ~6 bf16 passes,
+    # the manual hi/lo split runs 3, raw bf16 runs 1
+    passes = {"highest": 6, "high": 3, "default": 1}[args.precision]
     bound_ms, detail = mxu_bound_ms(
         args.size, args.size, args.stride, k, passes
     )
