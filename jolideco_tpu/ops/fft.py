@@ -185,11 +185,27 @@ def convolve_fft_precomputed(image, kft, fft_shape):
 
 
 def _convolve_fft_precomputed_fwd(image, kft, fft_shape):
-    return _convolve_fft_precomputed_impl(image, kft, fft_shape), kft
+    out = _convolve_fft_precomputed_impl(image, kft, fft_shape)
+    return out, (kft, jnp.shape(image))
 
 
-def _convolve_fft_precomputed_bwd(fft_shape, kft, g):
+def _convolve_fft_precomputed_bwd(fft_shape, res, g):
+    kft, image_shape = res
     dimage = _convolve_fft_precomputed_impl(g, jnp.conj(kft), fft_shape)
+    # unbroadcast: when kft carries extra leading (or size-1) dims the
+    # forward broadcast the image against them, so the cotangent must
+    # sum back down to the primal image shape (e.g. a 2-D flux through
+    # a (1, 1, kh, kw)-shaped multiscale kernel)
+    if dimage.shape != tuple(image_shape):
+        extra = dimage.ndim - len(image_shape)
+        if extra > 0:
+            dimage = dimage.sum(axis=tuple(range(extra)))
+        axes = tuple(
+            i for i, (d, s) in enumerate(zip(dimage.shape, image_shape))
+            if d != s and s == 1
+        )
+        if axes:
+            dimage = dimage.sum(axis=axes, keepdims=True)
     # kernels are frozen data (precomputed at build); no cotangent
     return dimage, jnp.zeros_like(kft)
 
